@@ -1,0 +1,310 @@
+"""Damped power-iteration PageRank with dangling-mass redistribution.
+
+Contract (SURVEY.md §2.12, from the reference's RunPageRankBasic.java):
+  1. init: every vertex starts at 1/N            (BuildPageRankRecords.java:45)
+  2. distribute: out-degree-d vertex sends p/d to each out-neighbor
+                                                 (RunPageRankBasic.java:71-88)
+  3. missing mass: 1 - Σ received                (RunPageRankBasic.java:344-347)
+  4. update: p' = α/N + (1-α)(p_recv + missing/N), α=0.15
+                                                 (RunPageRankBasic.java:230-246)
+  5. terminate: L1 delta ≤ tol (north_rule upgrade of the reference's
+     fixed iteration count, RunPageRankBasic.java:329-331)
+
+Numeric domain: linear float64 (deliberate divergence from the reference's
+float32 log-space ``sumLogProbs``, RunPageRankBasic.java:483-495 — see
+SURVEY.md §4.3; the 1e-6 allclose bar is met directly).
+
+Execution shape per iteration (vs the reference's 2 MapReduce jobs + 2 full
+HDFS graph materializations + driver side-file fold per iteration,
+RunPageRankBasic.java:339-351,423-429):
+  - one cheap aggregate on the cached ranks (dangling mass — replaces the
+    per-reducer side-file protocol of RunPageRankBasic.java:162-176)
+  - one join ranks⋈contributions + groupBy(dst).sum (Spark does map-side
+    partial aggregation automatically — the reference's optional combiner,
+    RunPageRankBasic.java:180-210, is always-on here)
+  - one action computing (L1 delta, total mass) in a single pass
+  - localCheckpoint to truncate lineage; graph stays in executor memory —
+    zero per-iteration disk round-trips of the edge table.
+
+Two physical strategies:
+  - ``edges``: pure DataFrame join/agg — Catalyst/Tungsten end-to-end,
+    whole-stage codegen, AQE-compatible. Default.
+  - ``csr``:   per-partition CSR blocks (numpy gather inside a cogrouped
+    Arrow UDF) — the north_star's explicit layout; wins when the rank
+    join dominates and degrees are skewed (salted blocks cap block size).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST, contributions_table, out_degrees, vertices
+
+ALPHA = 0.15  # jump probability, RunPageRankBasic.java:246
+DEFAULT_TOL = 1e-6
+
+
+@dataclass
+class IterationMetrics:
+    """Per-iteration lineage row (upgrade of Hadoop counters +
+    MyUtils.generateReport wall-clock files, MyUtils.java:12-22)."""
+
+    iteration: int
+    delta_l1: float
+    total_mass: float
+    missing_mass: float
+    edges_processed: int
+    num_partitions: int
+    wall_sec: float
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: long, score: double)
+    iterations: int
+    converged: bool
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        rows = [vars(m) for m in self.metrics]
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "iteration int, delta_l1 double, total_mass double, "
+                "missing_mass double, edges_processed long, "
+                "num_partitions int, wall_sec double"
+            ),
+        )
+
+
+def _init_state(
+    spark: SparkSession, edges: DataFrame, num_partitions: int
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Build (ranks0, contribs, n_vertices, n_edges).
+
+    ranks carries a precomputed ``dangling`` flag so the per-iteration
+    missing-mass aggregate is a scan of the cached ranks, not a join.
+    """
+    verts = vertices(edges)
+    deg = out_degrees(edges)
+    base = (
+        verts.join(deg, "id", "left")
+        .select("id", F.col("out_degree").isNull().alias("dangling"))
+        .repartition(num_partitions, "id")
+    )
+    base = base.persist()
+    n = base.count()
+    if n == 0:
+        raise ValueError(
+            "PageRank on an empty graph: edge table has no non-null edges"
+        )
+    contribs = contributions_table(edges, num_partitions).persist()
+    n_edges = contribs.count()
+    ranks0 = base.withColumn("score", F.lit(1.0 / n))
+    return ranks0, contribs, n, n_edges
+
+
+def _edges_step(
+    ranks: DataFrame, contribs: DataFrame, n: int, missing: float, alpha: float
+) -> DataFrame:
+    """One power-iteration step via DataFrame join + hash aggregate."""
+    recv = (
+        contribs.join(ranks, contribs[SRC] == ranks["id"], "inner")
+        .select(F.col(DST), (F.col("score") * F.col("weight")).alias("mass"))
+        .groupBy(DST)
+        .agg(F.sum("mass").alias("recv"))
+    )
+    base = ranks.select("id", "dangling")
+    new_score = F.lit(alpha / n) + F.lit(1.0 - alpha) * (
+        F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(missing / n)
+    )
+    return (
+        base.join(recv, base["id"] == recv[DST], "left")
+        .select("id", "dangling", new_score.alias("score"))
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = ALPHA,
+    tol: float = DEFAULT_TOL,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    strategy: str = "edges",
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    start_iteration: int = 0,
+    start_ranks: DataFrame | None = None,
+) -> PageRankResult:
+    """Run PageRank on a (src_id, dst_id) edge DataFrame.
+
+    ``edges`` need not be pre-deduplicated — callers that want reference
+    parity (BuildTextGraph dedup) should pass ``dedup_edges(e)``; parallel
+    edges here simply contribute multiple times (multigraph semantics,
+    BuildTextMultigraph.java:76-92).
+
+    Resumability: pass ``checkpoint_dir`` to write a snapshot every
+    ``checkpoint_interval`` iterations (ranks parquet + JSON manifest with
+    per-iteration lineage metrics). ``resume_pagerank`` continues from the
+    latest snapshot — analog of the reference's ``iter%04d`` HDFS dirs
+    (RunPageRankBasic.java:359-361) without materializing every iteration.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if strategy == "csr":
+        from .csr import csr_step, build_csr_blocks  # local import: optional path
+
+    ranks0, contribs, n, n_edges = _init_state(spark, edges, num_partitions)
+    if start_ranks is not None:
+        ranks = (
+            start_ranks.join(ranks0.select("id", "dangling"), "id", "inner")
+            .select("id", "dangling", "score")
+            .repartition(num_partitions, "id")
+        )
+    else:
+        ranks = ranks0
+    ranks = ranks.localCheckpoint(eager=True)
+
+    csr_blocks = None
+    if strategy == "csr":
+        csr_blocks = build_csr_blocks(edges, num_partitions).persist()
+        csr_blocks.count()
+
+    metrics: list[IterationMetrics] = []
+    converged = False
+    it = start_iteration
+    while it < max_iter:
+        t0 = time.monotonic()
+        # missing mass = Σ score over dangling vertices (cheap scan of cached ranks;
+        # replaces the reference's per-reducer side files + driver fold).
+        missing = (
+            ranks.where(F.col("dangling"))
+            .agg(F.sum("score").alias("m"))
+            .first()["m"]
+            or 0.0
+        )
+        if strategy == "csr":
+            new_ranks = csr_step(ranks, csr_blocks, n, missing, alpha, num_partitions)
+        else:
+            new_ranks = _edges_step(ranks, contribs, n, missing, alpha)
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+
+        # one action → (L1 delta, total mass); checksum analog of CheckSumPageRank.java:44-55
+        old = ranks.select("id", F.col("score").alias("old_score"))
+        agg = (
+            new_ranks.join(old, "id")
+            .agg(
+                F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
+                F.sum("score").alias("total"),
+            )
+            .first()
+        )
+        delta, total = float(agg["delta"]), float(agg["total"])
+        it += 1
+        metrics.append(
+            IterationMetrics(
+                iteration=it,
+                delta_l1=delta,
+                total_mass=total,
+                missing_mass=missing,
+                edges_processed=n_edges,
+                num_partitions=num_partitions,
+                wall_sec=time.monotonic() - t0,
+            )
+        )
+        ranks = new_ranks
+        if checkpoint_dir and it % checkpoint_interval == 0:
+            _write_snapshot(ranks, metrics, it, checkpoint_dir)
+        if delta <= tol:
+            converged = True
+            break
+
+    if checkpoint_dir:
+        _write_snapshot(ranks, metrics, it, checkpoint_dir, final=True)
+    result = ranks.select("id", "score")
+    return PageRankResult(result, it, converged, metrics)
+
+
+# ---------------------------------------------------------------- snapshots
+
+def _snapshot_path(checkpoint_dir: str, iteration: int) -> str:
+    return os.path.join(checkpoint_dir, f"iter{iteration:04d}")
+
+
+def _write_snapshot(
+    ranks: DataFrame,
+    metrics: list[IterationMetrics],
+    iteration: int,
+    checkpoint_dir: str,
+    final: bool = False,
+) -> None:
+    path = _snapshot_path(checkpoint_dir, iteration)
+    ranks.select("id", "score").write.mode("overwrite").parquet(path)
+    manifest = {
+        "iteration": iteration,
+        "final": final,
+        "ranks_path": path,
+        "metrics": [vars(m) for m in metrics],
+    }
+    tmp = os.path.join(checkpoint_dir, "_manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(checkpoint_dir, "manifest.json"))
+
+
+def load_snapshot(checkpoint_dir: str) -> tuple[int, dict] | None:
+    mf = os.path.join(checkpoint_dir, "manifest.json")
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        manifest = json.load(f)
+    return manifest["iteration"], manifest
+
+
+def resume_pagerank(
+    spark: SparkSession, edges: DataFrame, checkpoint_dir: str, **kwargs
+) -> PageRankResult:
+    """Continue a checkpointed run from its latest snapshot (bit-compatible:
+    the resumed trajectory is the same fixpoint iteration, so final scores
+    agree with an uninterrupted run to within the convergence tolerance)."""
+    snap = load_snapshot(checkpoint_dir)
+    if snap is None:
+        return pagerank(spark, edges, checkpoint_dir=checkpoint_dir, **kwargs)
+    iteration, manifest = snap
+    ranks = spark.read.parquet(manifest["ranks_path"])
+    res = pagerank(
+        spark,
+        edges,
+        checkpoint_dir=checkpoint_dir,
+        start_iteration=iteration,
+        start_ranks=ranks,
+        **kwargs,
+    )
+    prior = [IterationMetrics(**m) for m in manifest["metrics"]]
+    res.metrics = prior + res.metrics
+    return res
+
+
+def checksum(ranks: DataFrame, digits: int = 2) -> float:
+    """Σ scores rounded — the reference's CheckSumPageRank.java:44-55 report
+    (there: Σ exp(log-score) with %.2f through a single reducer)."""
+    total = ranks.agg(F.sum("score").alias("s")).first()["s"]
+    return round(float(total), digits)
+
+
+def top_k(ranks: DataFrame, k: int = 100) -> DataFrame:
+    """Bounded top-k: Catalyst plans TakeOrderedAndProject — exactly the
+    reference's per-mapper heap + single-reducer merge
+    (FindMaxPageRankNodes.java:32-95, TopScoredObjects.java:10-62).
+    Tie-break: equal scores → ascending id (TopScoredObjects.java:19-29).
+    """
+    return ranks.orderBy(F.desc("score"), F.asc("id")).limit(k)

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Replaces the reference's per-job Hadoop ``Configuration`` + ``Job`` setup
+(e.g. /root/reference/src/main/java/com/mikolaj/app/PrepareDataset.java:126-170)
+with a single session whose defaults are tuned for iterative graph work:
+Arrow enabled for pandas UDFs, a fixed shuffle-partition count so the
+iterate loop keeps a stable partitioning (the reference preserved partition
+counts by counting part-files + a non-splittable input format,
+RunPageRankBasic.java:365-379 / NonSplitableSequenceFileInputFormat.java:23-27;
+here partitioning is an explicit property of the plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "bitcoinpagerank_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    adaptive: bool = True,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``). AQE is on by default — the PageRank loop pins its own
+    partitioning per-stage and disables AQE coalescing locally where a
+    stable layout matters (SURVEY.md §4.2 R3).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true" if adaptive else "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
