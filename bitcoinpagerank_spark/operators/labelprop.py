@@ -1,0 +1,91 @@
+"""Synchronous label propagation (community detection).
+
+Not in the reference (mandated by the north_rule). Semantics: labels start
+as vertex ids; each iteration every vertex adopts the most frequent label
+among its neighbors (undirected view), ties broken by the minimum label —
+fully deterministic, synchronous updates, fixed iteration cap (LPA has no
+convergence guarantee; oscillation is possible, so ``max_iter`` bounds it
+and ``changed == 0`` exits early).
+
+Plan shape per iteration: join(labels) → groupBy(vertex,label).count →
+window row_number over (count desc, label asc) — all Catalyst built-ins.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST, undirected_view, vertices
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (id: long, label: long)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+) -> LabelPropResult:
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = undirected_view(edges).repartition(num_partitions, SRC).persist()
+    und.count()
+    labels = (
+        vertices(edges)
+        .withColumn("label", F.col("id"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+    converged = False
+    it = 0
+    metrics: list[dict] = []
+    while it < max_iter:
+        t0 = time.monotonic()
+        nbr = (
+            und.join(labels, und[SRC] == labels["id"], "inner")
+            .select(F.col(DST).alias("vid"), "label")
+            .groupBy("vid", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, labels["id"] == best["vid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(labels.select("id", F.col("label").alias("old")), "id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        it += 1
+        metrics.append(
+            {"iteration": it, "changed": changed,
+             "wall_sec": time.monotonic() - t0}
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    und.unpersist()
+    return LabelPropResult(labels, it, converged, metrics)

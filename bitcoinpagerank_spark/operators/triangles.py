@@ -1,0 +1,72 @@
+"""Degree-ordered triangle counting.
+
+Not in the reference (mandated by the north_rule). Algorithm: orient each
+undirected edge from the lower-(degree, id) endpoint to the higher one —
+every triangle then has exactly one wedge a→b, a→c with b→c, so each is
+counted once, and the out-degree of any vertex in the oriented graph is
+O(sqrt(|E|)), which bounds the wedge join even in the presence of hubs
+(the standard mitigation for the hub blowup a naive self-join suffers).
+
+Plan: two equi-joins + a count — all Catalyst; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST, undirected_view
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple edges oriented low-(degree,id) → high-(degree,id).
+
+    Input may be directed/multigraph; orientation works on the symmetric
+    closure so each undirected edge appears exactly once.
+    """
+    und = undirected_view(edges)  # symmetric, no self-loops, dedup
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+    e = (
+        und.where(F.col(SRC) < F.col(DST))  # one row per undirected edge
+        .join(deg.select(F.col("id").alias(SRC), F.col("deg").alias("deg_u")), SRC)
+        .join(deg.select(F.col("id").alias(DST), F.col("deg").alias("deg_v")), DST)
+    )
+    keep_uv = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col(SRC) < F.col(DST))
+    )
+    return e.select(
+        F.when(keep_uv, F.col(SRC)).otherwise(F.col(DST)).alias("u"),
+        F.when(keep_uv, F.col(DST)).otherwise(F.col(SRC)).alias("v"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Total number of triangles in the undirected simple graph."""
+    o = oriented_edges(edges).persist()
+    try:
+        e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        wedges = e1.join(e2, "b").select("a", "b", "c")
+        closing = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        return wedges.join(closing, ["a", "c"], "inner").count()
+    finally:
+        o.unpersist()
+
+
+def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+    """(id, triangles) — number of triangles each vertex participates in."""
+    o = oriented_edges(edges).persist()
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(o.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"])
+    )
+    per_vertex = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_vertex

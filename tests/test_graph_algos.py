@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import G_CYCLE, G_LINE, G_STAR, G_TRI, G_TWO_CC, edges_df
+from oracles import components_oracle, lpa_oracle, triangles_oracle
+
+from bitcoinpagerank_spark.operators.components import connected_components
+from bitcoinpagerank_spark.operators.labelprop import label_propagation
+from bitcoinpagerank_spark.operators.triangles import (
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+GRAPHS = {
+    "line": G_LINE,
+    "cycle": G_CYCLE,
+    "star": G_STAR,
+    "tri": G_TRI,
+    "two_cc": G_TWO_CC,
+}
+
+
+def _random_edges(seed, n=60, p=0.04):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    return [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_components_exact(spark, name):
+    edges = GRAPHS[name]
+    res = connected_components(spark, edges_df(spark, edges))
+    assert res.converged
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert got == components_oracle(edges)
+
+
+def test_components_random(spark):
+    edges = _random_edges(3)
+    res = connected_components(spark, edges_df(spark, edges))
+    assert res.converged
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    want = components_oracle(edges)
+    assert got == want
+    assert res.num_components() == len(set(want.values()))
+
+
+def test_two_cc_labels(spark):
+    res = connected_components(spark, edges_df(spark, G_TWO_CC))
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_triangles_exact(spark, name):
+    edges = GRAPHS[name]
+    assert triangle_count(edges_df(spark, edges)) == triangles_oracle(edges)
+
+
+def test_triangles_random(spark):
+    edges = _random_edges(11, n=40, p=0.15)
+    assert triangle_count(edges_df(spark, edges)) == triangles_oracle(edges)
+
+
+def test_triangles_per_vertex(spark):
+    # g_tri: one triangle → every vertex participates once
+    per_v = {
+        r["id"]: r["triangles"]
+        for r in triangle_count_per_vertex(edges_df(spark, G_TRI)).collect()
+    }
+    assert per_v == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_labelprop_matches_oracle(spark, name):
+    edges = GRAPHS[name]
+    res = label_propagation(spark, edges_df(spark, edges), max_iter=10)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == lpa_oracle(edges, max_iter=10)
+
+
+def test_labelprop_random(spark):
+    edges = _random_edges(5, n=40, p=0.08)
+    res = label_propagation(spark, edges_df(spark, edges), max_iter=6)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == lpa_oracle(edges, max_iter=6)
