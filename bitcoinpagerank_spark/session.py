@@ -13,10 +13,38 @@ here partitioning is an explicit property of the plan).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (``sc.addPyFile``).
+
+    On a real cluster this is what ``spark-submit --py-files engine.zip``
+    does (the north_rule's deployment shape); in local mode it covers the
+    case where the driver imported the package from a path the spawned
+    Python workers don't share. Idempotent per session.
+    """
+    sc = spark.sparkContext
+    if sc.environment.get("_bpr_shipped"):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="bpr_pyfiles"), "bitcoinpagerank_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc.environment["_bpr_shipped"] = "1"
 
 
 def get_spark(
@@ -52,4 +80,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
