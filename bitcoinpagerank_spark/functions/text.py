@@ -1,0 +1,135 @@
+"""Text-analysis functions for training-data pipelines.
+
+Not in the reference (whose payload is Bitcoin addresses); mandated by the
+driver's pipeline-ops requirement. Every function here is built from
+Catalyst expressions only (JVM-side, whole-stage codegen — no Python in the
+hot path) and has deliberately SQL-portable semantics so the DuckDB oracle
+harness can verify it verbatim:
+
+  tokens        := regexp-split lower(text) on whitespace, empties dropped
+  token_count   := size(tokens)
+  quality score := 0.4·stopword_ratio + 0.3·min(1, tokens/100) + 0.3·alpha_ratio
+  lang-id       := argmax over per-language marker-token hit counts
+                   (cjk chars counted per char); ties/zero → 'und'
+  fingerprint   := min over 3-token shingles of a polynomial hash of
+                   dictionary token-ids (a winnowing-style document
+                   fingerprint; collision-stable across engines because the
+                   hash is plain bigint arithmetic, not an engine builtin)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = (
+    "the and of to a in is it you that he was for on are as with his they i".split()
+)
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+# shared with the DuckDB oracle: plain bigint arithmetic, no engine builtins
+HASH_P = 2_147_483_647  # 2^31 - 1
+SHINGLE_A = (1_000_003, 999_983, 999_979)
+
+
+def tokens_col(text: Column) -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_ratio(text: Column) -> Column:
+    low = F.lower(text)
+    kept = F.length(F.regexp_replace(low, "[^a-z ]", ""))
+    return kept / F.greatest(F.length(low), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    return (
+        0.4 * stopword_ratio(text)
+        + 0.3 * F.least(F.lit(1.0), token_count(text) / F.lit(100.0))
+        + 0.3 * alpha_ratio(text)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens_col(text)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # CJK: count characters in the unified-ideograph block
+    cjk = F.length(text) - F.length(F.regexp_replace(text, r"[一-鿿]", ""))
+    scores["zh"] = cjk
+    return scores
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker scores; ties broken alphabetically (CASE order);
+    all-zero → 'und'. A plain CASE chain so the DuckDB oracle can mirror
+    the expression verbatim."""
+    s = lang_scores(text)
+    m = F.greatest(*[s[lang].cast("long") for lang in sorted(s)])
+    expr = F.when(m == 0, F.lit("und"))
+    for lang in sorted(s):  # alphabetical = tie-break order
+        expr = expr.when(s[lang].cast("long") == m, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def shingle_ids(token_ids: Column) -> Column:
+    """3-token shingles of dictionary ids → polynomial hash
+    (x1·a1 + x2·a2 + x3·a3) mod P."""
+    n = F.size(token_ids)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # docs with fewer than 3 tokens must yield zero shingles
+    idxs = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: (
+            F.element_at(token_ids, i).cast("long") * F.lit(SHINGLE_A[0])
+            + F.element_at(token_ids, i + 1).cast("long") * F.lit(SHINGLE_A[1])
+            + F.element_at(token_ids, i + 2).cast("long") * F.lit(SHINGLE_A[2])
+        )
+        % HASH_P,
+    )
+
+
+def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, tid) — dense ids by lexicographic token order.
+
+    A global sort is acceptable for oracle-parity paths; the scale path
+    uses xxhash64(token) directly (no dictionary, no sort) — see
+    operators/dedup.py.
+    """
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).distinct()
+    w = Window.orderBy("token")
+    return toks.withColumn("tid", F.row_number().over(w))
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )

@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its dedup is the edge-level HashSet,
+BuildTextGraph.java:92-103); mandated by the driver's pipeline-ops
+requirement. All operators are pure Catalyst expressions — the hashing is
+plain bigint arithmetic over dictionary token-ids (portable to the DuckDB
+oracle verbatim) or xxhash64 (scale path, no global dictionary sort).
+
+Scale notes:
+- exact dedup: one hash-groupBy shuffle, map-side partial agg.
+- MinHash+LSH: signatures are k min-aggregates over one explode-join
+  (no UDF); banding turns the O(n²) pair space into per-bucket joins.
+  At 100 TB the bucket join is the only shuffle that matters; bucket
+  sizes are capped by the band width choice, and the band self-join
+  uses the (band_idx, band_key) hash — uniform by construction.
+- SimHash: 32 conditional-sum aggregates → one bigint; near-dup pairs
+  join on rotated prefix buckets (here: exact-match variant).
+- n-gram Jaccard: distinct shingles, shared-shingle pair join, then
+  |A∩B| / (|A|+|B|-|A∩B|) — the exact verifier usually run after LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_P, shingle_ids, token_dictionary, tokens_col
+
+# deterministic LCG-style minhash coefficients (shared with the SQL oracle)
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    return [
+        ((1_664_525 * i + 1_013_904_223) % HASH_P or 1,
+         (22_695_477 * i + 1) % HASH_P)
+        for i in range(1, k + 1)
+    ]
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: keeper = min id, plus duplicate count.
+    Keyed on md5(text) so the shuffle key is fixed-width even for long
+    documents."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def doc_token_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """(id, tids array<long>) — dictionary ids in document order.
+
+    With ``dictionary=None`` the scale path is used: tid = xxhash64(token)
+    (no global sort; not SQL-oracle-portable but collision-equivalent)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+    )
+    if dictionary is None:
+        tid = toks.select(
+            "id", "pos", F.pmod(F.xxhash64("token"), F.lit(HASH_P)).alias("tid")
+        )
+    else:
+        tid = toks.join(dictionary, "token", "inner").select(
+            "id", "pos", F.col("tid").cast("long").alias("tid")
+        )
+    return (
+        tid.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
+        .select("id", F.transform("pt", lambda s: s["tid"]).alias("tids"))
+    )
+
+
+def minhash_signatures(
+    doc_tids: DataFrame, k: int = 16
+) -> DataFrame:
+    """(id, mh_1..mh_k) — k min-hash values over the token-id SET.
+
+    h_i(t) = (a_i·t + b_i) mod P with LCG coefficients; k min-aggregates
+    over one explode, all codegen."""
+    coeffs = minhash_coeffs(k)
+    exploded = doc_tids.select(
+        "id", F.explode(F.array_distinct("tids")).alias("tid")
+    )
+    aggs = [
+        F.min((F.col("tid").cast("long") * F.lit(a) + F.lit(b)) % HASH_P).alias(
+            f"mh_{i+1}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b sharing at least one LSH band.
+
+    Bands split the k signature columns into ``bands`` groups; documents
+    colliding on any full band become candidates. The self-join is on
+    (band_idx, band_key) — the banding hash is the partitioner."""
+    sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    k = len(sig_cols)
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("_", *sig_cols[b * r : (b + 1) * r]).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band_idx").alias("band_idx"),
+             F.col("bk.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(doc_tids: DataFrame, bits: int = 32) -> DataFrame:
+    """(id, simhash bigint) — sign-of-sum over token-id hash bits.
+
+    g(t) = (a·t + b) mod 2^32 (plain arithmetic); bit_j(g) via integer
+    div/mod; simhash = Σ 2^j·[Σ_tokens (2·bit_j − 1) > 0]."""
+    a1, b1 = 1_664_525, 1_013_904_223
+    g = (F.col("tid").cast("long") * F.lit(a1) + F.lit(b1)) % F.lit(2**32)
+    exploded = doc_tids.select("id", F.explode("tids").alias("tid")).select(
+        "id", g.alias("g")
+    )
+    aggs = [
+        F.sum(
+            F.when((F.col("g").cast("long") / F.lit(2**j)).cast("long") % 2 == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = exploded.groupBy("id").agg(*aggs)
+    sh = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return sums.select("id", sh.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    doc_tids: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over 3-token shingle sets, id_a < id_b,
+    jaccard ≥ threshold. Pairs restricted to those sharing ≥1 shingle."""
+    sh = doc_tids.select(
+        "id", F.explode(F.array_distinct(shingle_ids(F.col("tids")))).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) — correct baseline; the scale path buckets by LSH
+    sign-bits first (operators/ann.py) and runs this within buckets."""
+    from .ann import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoinpagerank_spark.functions.text import HASH_P, token_dictionary
+from bitcoinpagerank_spark.operators.dedup import (
+    doc_token_ids,
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat today"),
+    (2, "the cat sat on the mat today"),          # exact dup of 1
+    (3, "the cat sat on the mat yesterday"),      # near dup of 1
+    (4, "completely different words entirely here now"),
+    (5, "the dog sat on the mat today"),          # near dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def tids(spark, docs):
+    return doc_token_ids(docs, dictionary=token_dictionary(docs)).persist()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_doc_token_ids_order(spark, docs, tids):
+    d = {r["token"]: r["tid"] for r in token_dictionary(docs).collect()}
+    row = {r["id"]: r["tids"] for r in tids.collect()}
+    assert row[1] == [d[t] for t in "the cat sat on the mat today".split()]
+
+
+def test_minhash_matches_python(spark, docs, tids):
+    k = 8
+    sig = minhash_signatures(tids, k=k).collect()
+    rows = {r["id"]: [r[f"mh_{i+1}"] for i in range(k)] for r in sig}
+    tid_map = {r["id"]: set(r["tids"]) for r in tids.collect()}
+    for doc_id, tset in tid_map.items():
+        want = [
+            min((a * t + b) % HASH_P for t in tset)
+            for a, b in minhash_coeffs(k)
+        ]
+        assert rows[doc_id] == want, doc_id
+
+
+def test_exact_dups_always_lsh_candidates(spark, tids):
+    sig = minhash_signatures(tids, k=16)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # identical docs collide on every band
+    # near-dups share most minhashes → usually some band
+    assert (1, 3) in pairs or (1, 5) in pairs
+
+
+def test_simhash_identical_and_distance(spark, tids):
+    sh = {r["id"]: r["simhash"] for r in simhash(tids).collect()}
+    assert sh[1] == sh[2]  # identical docs → identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard(spark, tids):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(tids, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    # doc1 vs doc3: tokens differ only in last word; 5 shingles each, 4 shared
+    assert pairs[(1, 3)] == pytest.approx(4 / 6)
+    assert (1, 4) not in pairs  # no shared shingles
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    assert pairs == {(1, 2)}

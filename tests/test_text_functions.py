@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoinpagerank_spark.functions.text import (
+    HASH_P,
+    LANG_MARKERS,
+    SHINGLE_A,
+    STOPWORDS,
+    lang_id,
+    quality_score,
+    token_count,
+    token_dictionary,
+    with_text_features,
+)
+
+
+def py_tokens(text):
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def py_quality(text):
+    toks = py_tokens(text)
+    stop = sum(1 for t in toks if t in STOPWORDS) / max(len(toks), 1)
+    low = text.lower()
+    alpha = len(re.sub(r"[^a-z ]", "", low)) / max(len(low), 1)
+    return 0.4 * stop + 0.3 * min(1.0, len(toks) / 100.0) + 0.3 * alpha
+
+
+def py_lang(text):
+    toks = py_tokens(text)
+    scores = {
+        lang: sum(1 for t in toks if t in marks)
+        for lang, marks in LANG_MARKERS.items()
+    }
+    scores["zh"] = len(re.findall(r"[一-鿿]", text))
+    m = max(scores.values())
+    if m == 0:
+        return "und"
+    return sorted(l for l, s in scores.items() if s == m)[0]
+
+
+SAMPLES = [
+    "The quick brown fox and the lazy dog",
+    "der hund und die katze ist hier",
+    "le chat et la souris est petit",
+    "el gato y los perros es grande",
+    "你好 世界 这是 中文",
+    "zzz qqq xxx",
+    "",
+    "  multiple   spaces\tand\ttabs ",
+]
+
+
+def test_text_features_vs_python(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id int, text string")
+    rows = df.select(
+        "id",
+        "text",
+        token_count(F.col("text")).alias("n"),
+        F.round(quality_score(F.col("text")), 9).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(py_tokens(r["text"])), r["text"]
+        assert r["q"] == pytest.approx(py_quality(r["text"]), abs=1e-6), r["text"]
+        assert r["lang"] == py_lang(r["text"]), r["text"]
+
+
+def test_lang_id_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = with_text_features(docs.limit(50))
+    rows = out.select("text", "lang_pred").collect()
+    for r in rows:
+        assert r["lang_pred"] == py_lang(r["text"])
+
+
+def test_token_dictionary_dense_sorted(spark):
+    df = spark.createDataFrame([(1, "b a c a"), (2, "c d")], "doc_id int, text string")
+    d = {r["token"]: r["tid"] for r in token_dictionary(df).collect()}
+    assert d == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def test_shingle_hash_portable(spark):
+    from bitcoinpagerank_spark.functions.text import shingle_ids
+
+    df = spark.createDataFrame([(1, [5, 7, 11, 13])], "id int, tids array<long>")
+    got = df.select(shingle_ids(F.col("tids")).alias("s")).first()["s"]
+    want = [
+        (5 * SHINGLE_A[0] + 7 * SHINGLE_A[1] + 11 * SHINGLE_A[2]) % HASH_P,
+        (7 * SHINGLE_A[0] + 11 * SHINGLE_A[1] + 13 * SHINGLE_A[2]) % HASH_P,
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("tids", [[], [5], [5, 7]])
+def test_shingles_empty_for_short_docs(spark, tids):
+    # regression: sequence(1, 0) in Spark is DESCENDING, not empty
+    from bitcoinpagerank_spark.functions.text import shingle_ids
+
+    df = spark.createDataFrame([(1, tids)], "id int, tids array<long>")
+    assert df.select(shingle_ids(F.col("tids")).alias("s")).first()["s"] == []
