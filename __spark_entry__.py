@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (PageRank to convergence on the
+deterministic documents-derived link graph at sf0.001, top-20 by score).
+``queries()`` / ``oracle_sql()`` expose the full operator catalog
+(bitcoinpagerank_spark/plans/catalog.py): 30 DuckDB-verifiable operators
+plus rows-only entries for the non-SQL-expressible iterative fixpoints.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bitcoinpagerank_spark.plans import catalog  # noqa: E402
+from bitcoinpagerank_spark.session import ship_package  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank (damped, dangling-aware, L1 ≤ 1e-6) on the
+    sf0.001 documents-derived edge table → top-20 (id, score)."""
+    from pyspark.sql import functions as F
+
+    from bitcoinpagerank_spark.operators.pagerank import pagerank, top_k
+
+    ship_package(spark)
+    edges = catalog.doc_edges(spark, "/root/testdata/sf0.001")
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    return top_k(res.ranks, 20).select("id", F.round("score", 9).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
+    wrapped = {}
+    for name, fn in catalog.queries().items():
+        def make(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                ship_package(spark)
+                return f(spark, sf_dir)
+            return run
+        wrapped[name] = make(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names/aliases)."""
+    return catalog.oracle_sql()

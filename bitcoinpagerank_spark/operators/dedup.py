@@ -146,7 +146,7 @@ def simhash(doc_tids: DataFrame, bits: int = 32) -> DataFrame:
     )
     aggs = [
         F.sum(
-            F.when((F.col("g").cast("long") / F.lit(2**j)).cast("long") % 2 == 1,
+            F.when(F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) == 1,
                    F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s{j}")
         for j in range(bits)

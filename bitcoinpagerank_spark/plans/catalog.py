@@ -1,0 +1,801 @@
+"""Query catalog: every driver-facing operator as a (Spark builder, DuckDB
+oracle SQL) pair.
+
+Each entry maps one operator from SURVEY.md §2 (or a pipeline op from the
+driver's requirements) onto the driver's parquet testdata. The Spark
+callable takes (spark, sf_dir) and returns a DataFrame; the SQL string is
+the ANSI equivalent DuckDB runs on the same tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Column names are aliased identically on both sides; float aggregates are
+rounded so cross-engine hashing is stable; arrays are serialized to
+strings.
+
+Graph queries run over a deterministic edge table derived arithmetically
+from ``documents`` (both engines derive it identically — no data is
+synthesized outside the provided tables).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HASH_P,
+    LANG_MARKERS,
+    SHINGLE_A,
+    STOPWORDS,
+    lang_id,
+    quality_score,
+    token_count,
+    token_dictionary,
+)
+from ..operators import edges as E
+from ..operators.dedup import (
+    doc_token_ids,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.ann import brute_force_topk
+from ..operators.pagerank import pagerank
+from ..operators.components import connected_components
+from ..operators.labelprop import label_propagation
+from ..operators.triangles import triangle_count
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (src_id, dst_id) edge table derived from documents:
+    linkers are doc_id % 5 != 0; targets (id*7+1, id*13+3) mod n, plus
+    (id*19+7) mod n for doc_id % 3 == 0; dedup, no self-loops."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    base = docs.select("doc_id").where(F.col("doc_id") % 5 != 0)
+    e = (
+        base.select(
+            F.col("doc_id").alias("src_id"),
+            ((F.col("doc_id") * 7 + 1) % n).alias("dst_id"),
+        )
+        .unionAll(
+            base.select(
+                F.col("doc_id").alias("src_id"),
+                ((F.col("doc_id") * 13 + 3) % n).alias("dst_id"),
+            )
+        )
+        .unionAll(
+            docs.select("doc_id")
+            .where(F.col("doc_id") % 3 == 0)
+            .select(
+                F.col("doc_id").alias("src_id"),
+                ((F.col("doc_id") * 19 + 7) % n).alias("dst_id"),
+            )
+        )
+    )
+    return E.dedup_edges(e)
+
+
+# one CTE block shared by every graph oracle (DuckDB side)
+EDGES_CTE = """
+n AS (SELECT count(*) AS cnt FROM documents),
+e0 AS (
+  SELECT doc_id AS src_id, (doc_id*7+1) % cnt AS dst_id FROM documents, n WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % cnt FROM documents, n WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*19+7) % cnt FROM documents, n WHERE doc_id % 3 = 0
+),
+edges AS (SELECT DISTINCT src_id, dst_id FROM e0 WHERE src_id <> dst_id),
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src_id AS id FROM edges UNION ALL SELECT dst_id FROM edges
+  )
+)
+"""
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# =========================================================== graph queries
+
+@register(
+    "g_edges_build",
+    f"WITH {EDGES_CTE} SELECT src_id, dst_id FROM edges",
+)
+def q_edges_build(spark, sf_dir):
+    return doc_edges(spark, sf_dir)
+
+
+@register(
+    "g_degrees",
+    f"""WITH {EDGES_CTE},
+    outd AS (SELECT src_id AS id, count(*) AS out_degree FROM edges GROUP BY 1),
+    ind  AS (SELECT dst_id AS id, count(*) AS in_degree  FROM edges GROUP BY 1)
+    SELECT v.id,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0)  AS in_degree
+    FROM verts v LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)""",
+)
+def q_degrees(spark, sf_dir):
+    e = doc_edges(spark, sf_dir)
+    v = E.vertices(e)
+    return (
+        v.join(E.out_degrees(e), "id", "left")
+        .join(E.in_degrees(e), "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+@register(
+    "g_dangling",
+    f"""WITH {EDGES_CTE}
+    SELECT DISTINCT dst_id AS id FROM edges
+    WHERE dst_id NOT IN (SELECT src_id FROM edges)""",
+)
+def q_dangling(spark, sf_dir):
+    return E.dangling_vertices(doc_edges(spark, sf_dir))
+
+
+@register(
+    "g_triangle_count",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    )
+    SELECT count(*) AS n_triangles FROM und e1
+    JOIN und e2 ON e1.v = e2.u
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
+)
+def q_triangle_count(spark, sf_dir):
+    n = triangle_count(doc_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def _pagerank_iter_sql(iters: int) -> str:
+    """Unrolled damped PageRank (§2.12 semantics) as chained CTEs."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "deg AS (SELECT src_id, count(*) AS d FROM edges GROUP BY 1),",
+        "r0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i+1}"
+        parts.append(
+            f"""m{i} AS (
+  SELECT coalesce(sum(score), 0.0) AS miss FROM {prev}
+  WHERE id NOT IN (SELECT src_id FROM deg)
+),
+recv{i} AS (
+  SELECT e.dst_id AS id, sum(r.score / deg.d) AS recv
+  FROM edges e JOIN {prev} r ON e.src_id = r.id JOIN deg ON e.src_id = deg.src_id
+  GROUP BY e.dst_id
+),
+{cur} AS (
+  SELECT v.id,
+         0.15/cnt + 0.85*(coalesce(recv, 0.0) + miss/cnt) AS score
+  FROM verts v CROSS JOIN n CROSS JOIN m{i}
+  LEFT JOIN recv{i} rc ON v.id = rc.id
+),"""
+        )
+    body = "\n".join(parts).rstrip(",\n") + "\n"
+    # strip the trailing comma of the final CTE
+    body = body.rstrip()
+    if body.endswith(","):
+        body = body[:-1]
+    return body + f"\nSELECT id, round(score, 9) AS score FROM r{iters}"
+
+
+@register("g_pagerank_iter3", _pagerank_iter_sql(3))
+def q_pagerank_iter3(spark, sf_dir):
+    e = doc_edges(spark, sf_dir)
+    res = pagerank(spark, e, tol=0.0, max_iter=3)
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+@register(
+    "g_components",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    und AS (
+      SELECT src_id AS a, dst_id AS b FROM edges
+      UNION SELECT dst_id, src_id FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id""",
+)
+def q_components(spark, sf_dir):
+    res = connected_components(spark, doc_edges(spark, sf_dir))
+    return res.labels
+
+
+@register(
+    "g_labelprop_iter1",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT src_id AS a, dst_id AS b FROM edges
+      UNION SELECT dst_id, src_id FROM edges
+    ),
+    cnts AS (
+      SELECT und.b AS vid, und.a AS label, count(*) AS cnt
+      FROM und GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vid, label,
+             row_number() OVER (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn
+      FROM cnts
+    )
+    SELECT v.id, coalesce(b.label, v.id) AS label
+    FROM verts v LEFT JOIN (SELECT vid, label FROM best WHERE rn = 1) b
+      ON v.id = b.vid""",
+)
+def q_labelprop_iter1(spark, sf_dir):
+    res = label_propagation(spark, doc_edges(spark, sf_dir), max_iter=1)
+    return res.labels
+
+
+@register(
+    "g_top_out_degree",
+    f"""WITH {EDGES_CTE}
+    SELECT src_id AS id, count(*) AS out_degree FROM edges
+    GROUP BY 1 ORDER BY out_degree DESC, id ASC LIMIT 20""",
+)
+def q_top_out_degree(spark, sf_dir):
+    e = doc_edges(spark, sf_dir)
+    return (
+        E.out_degrees(e)
+        .orderBy(F.desc("out_degree"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# rows-only (non-SQL-expressible fixpoints): full convergence runs
+@register("g_pagerank_converged", None)
+def q_pagerank_converged(spark, sf_dir):
+    res = pagerank(spark, doc_edges(spark, sf_dir), tol=1e-6, max_iter=100)
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+@register("g_labelprop_converged", None)
+def q_labelprop_converged(spark, sf_dir):
+    res = label_propagation(spark, doc_edges(spark, sf_dir), max_iter=10)
+    return res.labels
+
+
+# ====================================================== relational queries
+# The reference join-chain shapes (SURVEY.md §2.3) mapped onto the TPC-H-ish
+# testdata: J1-J3 = multi-stage equi-joins, J2 = composite key, J4 = left
+# anti, A1 distinct, A2 group-collect, T1/T2 top-k with tie-break, A7
+# checksum, U1 union.
+
+@register(
+    "rel_join_chain",
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey  = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def q_rel_join_chain(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_composite_join",
+    """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS linenumber,
+              round(a.l_quantity + b.l_quantity, 2) AS qty2
+       FROM lineitem a
+       JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1""",
+)
+def q_rel_composite_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("orderkey"),
+            F.col("a.l_linenumber").alias("linenumber"),
+            F.round(F.col("a.l_quantity") + F.col("b.l_quantity"), 2).alias("qty2"),
+        )
+    )
+
+
+@register(
+    "rel_left_anti",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def q_rel_left_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "rel_distinct",
+    "SELECT DISTINCT c_nationkey FROM customer",
+)
+def q_rel_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+
+
+@register(
+    "rel_group_collect",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+              count(*) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def q_rel_group_collect(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+                "order_keys"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+       LIMIT 100""",
+)
+def q_rel_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "rel_checksum",
+    """SELECT round(sum(c_acctbal / t.total), 2) AS checksum
+       FROM customer CROSS JOIN
+            (SELECT sum(c_acctbal) AS total FROM customer) t""",
+)
+def q_rel_checksum(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    total = c.agg(F.sum("c_acctbal").alias("total"))
+    return c.crossJoin(total).agg(
+        F.round(F.sum(F.col("c_acctbal") / F.col("total")), 2).alias("checksum")
+    )
+
+
+@register(
+    "rel_union",
+    """SELECT name, count(*) AS n FROM (
+         SELECT s_name AS name FROM supplier
+         UNION ALL
+         SELECT c_name FROM customer
+       ) GROUP BY name""",
+)
+def q_rel_union(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    return s.unionByName(c).groupBy("name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rel_window_latest_order",
+    """SELECT o_custkey, o_orderkey FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC
+                ) AS rn
+         FROM orders
+       ) WHERE rn = 1""",
+)
+def q_rel_window_latest_order(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+# ========================================================== events queries
+
+@register(
+    "ev_tumbling_window",
+    """SELECT cast(floor(epoch(ts) / 600) AS bigint) AS bucket,
+              event_type,
+              count(*) AS n,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_ev_tumbling_window(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ev_top_users",
+    """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+       FROM events GROUP BY user_id
+       ORDER BY total_value DESC, user_id ASC LIMIT 10""",
+)
+def q_ev_top_users(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ===================================================== document pipelines
+# Token/dictionary CTEs shared by the doc-level oracles. Tokenization and
+# all hashing are plain arithmetic — identical in both engines by design.
+
+DOC_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+postok AS (
+  SELECT doc_id, i.i AS pos, t[i.i] AS token
+  FROM toks, (SELECT unnest(generate_series(1, len(t)))) AS i(i)
+),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM postok)
+),
+doctid AS (
+  SELECT p.doc_id, p.pos, v.tid FROM postok p JOIN vocab v USING (token)
+)
+"""
+
+_SHINGLE_SQL = (
+    f"(d1.tid*{SHINGLE_A[0]} + d2.tid*{SHINGLE_A[1]} + d3.tid*{SHINGLE_A[2]})"
+    f" % {HASH_P}"
+)
+
+SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT d1.doc_id, {_SHINGLE_SQL} AS s
+  FROM doctid d1
+  JOIN doctid d2 ON d1.doc_id = d2.doc_id AND d2.pos = d1.pos + 1
+  JOIN doctid d3 ON d1.doc_id = d3.doc_id AND d3.pos = d1.pos + 2
+)
+"""
+
+
+@register(
+    "doc_exact_dedup",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+              count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_count",
+    r"""SELECT doc_id,
+              len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS n_tokens
+       FROM documents""",
+)
+def q_doc_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+@register(
+    "doc_quality",
+    rf"""WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                    / greatest(len(toks), 1))
+           + 0.3 * least(1.0, len(toks) / 100.0)
+           + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                    / greatest(length(lower(text)), 1)),
+           6) AS quality
+    FROM t""",
+)
+def q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in marks)
+            + "], x)))"
+        )
+        for lang, marks in LANG_MARKERS.items()
+    }
+    score["zh"] = (
+        "length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))"
+    )
+    langs = sorted(score)
+    m = "greatest(" + ", ".join(score[l] for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN {score[l]} = {m} THEN '{l}'" for l in langs
+    )
+    return rf"""WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN {m} = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+    FROM t"""
+
+
+@register("doc_lang_id", _lang_sql())
+def q_doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_MH_K = 8
+
+def _minhash_sql(k: int = _MH_K) -> str:
+    mins = ", ".join(
+        f"min((tid*{a} + {b}) % {HASH_P}) AS mh_{i+1}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    return (
+        f"WITH {DOC_TOKS_CTE} "
+        f"SELECT doc_id AS id, {mins} "
+        f"FROM (SELECT DISTINCT doc_id, tid FROM doctid) GROUP BY doc_id"
+    )
+
+
+def _doc_tids_dict(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return doc_token_ids(docs, dictionary=token_dictionary(docs))
+
+
+@register("doc_minhash", _minhash_sql())
+def q_doc_minhash(spark, sf_dir):
+    return minhash_signatures(_doc_tids_dict(spark, sf_dir), k=_MH_K)
+
+
+def _lsh_sql(k: int = _MH_K, bands: int = 4) -> str:
+    r = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, concat_ws('_', "
+        + ", ".join(f"mh_{b*r+j+1}" for j in range(r))
+        + ") AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return (
+        f"WITH {DOC_TOKS_CTE}, sigs AS ("
+        f"SELECT doc_id AS id, "
+        + ", ".join(
+            f"min((tid*{a} + {b_}) % {HASH_P}) AS mh_{i+1}"
+            for i, (a, b_) in enumerate(minhash_coeffs(k))
+        )
+        + " FROM (SELECT DISTINCT doc_id, tid FROM doctid) GROUP BY doc_id"
+        f"), banded AS ({band_rows}) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+        "JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+        "AND a.id < b.id"
+    )
+
+
+@register("doc_lsh_pairs", _lsh_sql())
+def q_doc_lsh_pairs(spark, sf_dir):
+    sigs = minhash_signatures(_doc_tids_dict(spark, sf_dir), k=_MH_K)
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+@register(
+    "doc_ngram_jaccard",
+    f"""WITH {DOC_TOKS_CTE}, {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE i / (na.n + nb.n - i) >= 0.2""",
+)
+def q_doc_ngram_jaccard(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(_doc_tids_dict(spark, sf_dir), threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (g >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    total = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return (
+        f"WITH {DOC_TOKS_CTE}, "
+        f"g AS (SELECT doc_id, (tid*1664525 + 1013904223) % 4294967296 AS g "
+        f"FROM doctid), "
+        f"sums AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id) "
+        f"SELECT doc_id AS id, cast({total} AS bigint) AS simhash FROM sums"
+    )
+
+
+@register("doc_simhash", _simhash_sql())
+def q_doc_simhash(spark, sf_dir):
+    return simhash(_doc_tids_dict(spark, sf_dir), bits=32)
+
+
+@register(
+    "doc_fingerprint",
+    f"""WITH {DOC_TOKS_CTE}, {SHINGLES_CTE}
+    SELECT doc_id AS id, min(s) AS fingerprint FROM sh GROUP BY doc_id""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    from ..functions.text import shingle_ids
+
+    tids = _doc_tids_dict(spark, sf_dir)
+    return (
+        tids.select(
+            "id", F.explode(F.array_distinct(shingle_ids(F.col("tids")))).alias("s")
+        )
+        .groupBy("id")
+        .agg(F.min("s").alias("fingerprint"))
+    )
+
+
+# ======================================================= embedding queries
+
+@register(
+    "emb_ann_topk",
+    """SELECT query_id, neighbor_id, rank, cosine FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]), 4) AS cosine,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC
+                ) AS rank
+         FROM embeddings q JOIN embeddings c
+           ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+       ) WHERE rank <= 3""",
+)
+def q_emb_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries_df, k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@register(
+    "emb_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) >= 0.35""",
+)
+def q_emb_neardup(spark, sf_dir):
+    from ..operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# rows-only: LSH-bucketed ANN (approximate by design — no SQL oracle)
+@register("emb_ann_lsh", None)
+def q_emb_ann_lsh(spark, sf_dir):
+    from ..operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries_df, dim=64, k=3, bits=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
