@@ -62,6 +62,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # untimed warmup: exercise codegen/JIT paths once on a miniature graph
+    # so timings below reflect steady-state throughput, not JVM warmup
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        wp = generate_pages(spark, 2000, num_partitions=8)
+        we = build_link_graph(wp, num_partitions=8).edges.persist()
+        we.count()
+        pagerank(spark, we, tol=0.0, max_iter=2)
+        we.unpersist()
+
     def timed(name, fn):
         if only and name not in only:
             return None

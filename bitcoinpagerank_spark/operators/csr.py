@@ -137,10 +137,12 @@ def csr_step(
         .groupBy("dst_id")
         .agg(F.sum("mass").alias("recv"))
     )
-    base = ranks.select("id", "dangling")
     new_score = F.lit(alpha / n) + F.lit(1.0 - alpha) * (
         F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(missing / n)
     )
-    return base.join(recv, base["id"] == recv["dst_id"], "left").select(
-        "id", "dangling", new_score.alias("score")
+    return ranks.join(recv, ranks["id"] == recv["dst_id"], "left").select(
+        "id",
+        "dangling",
+        new_score.alias("score"),
+        F.col("score").alias("old_score"),
     )

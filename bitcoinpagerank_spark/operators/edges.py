@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 SRC = "src_id"
 DST = "dst_id"
 
+# ~edges per partition before adding more partitions; at cluster scale the
+# caller pins num_partitions explicitly (a property of the stored graph),
+# this heuristic only right-sizes local/small runs where per-task scheduling
+# overhead dominates (SURVEY.md §4.1 split-size tuning analog).
+EDGES_PER_PARTITION = 100_000
+
+
+def auto_partitions(spark, n_edges: int) -> int:
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(n_edges // EDGES_PER_PARTITION + 1, default))
+
 
 def dedup_edges(edges: DataFrame, drop_self_loops: bool = True) -> DataFrame:
     """Deduplicate parallel edges; optionally drop self-loops.
@@ -71,6 +82,34 @@ def undirected_view(edges: DataFrame) -> DataFrame:
         edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
     return sym.where(F.col(SRC) != F.col(DST)).distinct()
+
+
+def partition_lineage(edges: DataFrame, num_partitions: int) -> DataFrame:
+    """(part, edge_count) — per-partition edge counts under the engine's
+    pmod(src_id, P) layout. Recorded once per run into the lineage metrics
+    (north_rule: per-partition lineage); the per-iteration delta/mass rows
+    are in ``PageRankResult.metrics``. The reference's analog is Hadoop's
+    per-task counters (RunPageRankBasic.java:34-36)."""
+    return (
+        edges.groupBy(
+            F.pmod(F.col(SRC), F.lit(num_partitions)).cast("int").alias("part")
+        )
+        .agg(F.count("*").alias("edge_count"))
+        .orderBy("part")
+    )
+
+
+def adjacency_lists(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """(id, dsts array<long> sorted) — the reference's adjacency assembly:
+    group-by-src with HashSet dedup (BuildTextGraph.java:82-113, A2) or
+    multigraph keep-duplicates (BuildTextMultigraph.java:76-92, A3).
+    Sorted for deterministic output; sink vertices are absent (the
+    reference appends them via the remaining-nodes file union, S9/U1 —
+    callers union ``dangling_vertices`` when they need every vertex)."""
+    collect = F.collect_set(DST) if dedup else F.collect_list(DST)
+    return edges.groupBy(F.col(SRC).alias("id")).agg(
+        F.sort_array(collect).alias("dsts")
+    )
 
 
 def contributions_table(

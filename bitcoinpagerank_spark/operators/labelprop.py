@@ -37,7 +37,9 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> LabelPropResult:
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from .edges import auto_partitions
+
+        num_partitions = auto_partitions(spark, edges.count())
 
     und = undirected_view(edges).repartition(num_partitions, SRC).persist()
     und.count()

@@ -45,7 +45,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, contributions_table, out_degrees, vertices
+from .edges import (
+    SRC,
+    DST,
+    auto_partitions,
+    contributions_table,
+    out_degrees,
+    vertices,
+)
 
 ALPHA = 0.15  # jump probability, RunPageRankBasic.java:246
 DEFAULT_TOL = 1e-6
@@ -71,6 +78,9 @@ class PageRankResult:
     iterations: int
     converged: bool
     metrics: list[IterationMetrics] = field(default_factory=list)
+    # per-partition lineage (north_rule): [(part, edge_count)] under the
+    # run's pmod(src_id, P) layout, recorded once per run
+    partition_lineage: list[tuple[int, int]] = field(default_factory=list)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         rows = [vars(m) for m in self.metrics]
@@ -114,21 +124,38 @@ def _init_state(
 def _edges_step(
     ranks: DataFrame, contribs: DataFrame, n: int, missing: float, alpha: float
 ) -> DataFrame:
-    """One power-iteration step via DataFrame join + hash aggregate."""
+    """One power-iteration step via DataFrame join + hash aggregate.
+
+    The ranks side is small relative to the edge table, so Catalyst
+    broadcasts it into the contribs join (zero edge-side shuffle); at
+    vertex counts past the broadcast threshold it degrades to a co-
+    partitioned sort-merge join (contribs is pre-partitioned by src once).
+    The old score is carried through so the convergence aggregate needs no
+    second join."""
     recv = (
-        contribs.join(ranks, contribs[SRC] == ranks["id"], "inner")
+        contribs.join(ranks.select("id", "score"),
+                      contribs[SRC] == F.col("id"), "inner")
         .select(F.col(DST), (F.col("score") * F.col("weight")).alias("mass"))
         .groupBy(DST)
         .agg(F.sum("mass").alias("recv"))
     )
-    base = ranks.select("id", "dangling")
     new_score = F.lit(alpha / n) + F.lit(1.0 - alpha) * (
         F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(missing / n)
     )
-    return (
-        base.join(recv, base["id"] == recv[DST], "left")
-        .select("id", "dangling", new_score.alias("score"))
+    return ranks.join(recv, ranks["id"] == recv[DST], "left").select(
+        "id",
+        "dangling",
+        new_score.alias("score"),
+        F.col("score").alias("old_score"),
     )
+
+
+# NOTE on a rejected design: keeping the dangling mass in-plan (a 1-row
+# broadcast aggregate cross-joined into the update) to chain k lazy steps
+# per driver action was measured 3-4× SLOWER — each unmaterialized step is
+# re-executed by all three consumer branches of the next step (the miss
+# aggregate, the contributions join, and the final left join), giving
+# ~3^k recompute. One materialized step per action wins.
 
 
 def pagerank(
@@ -158,10 +185,41 @@ def pagerank(
     (RunPageRankBasic.java:359-361) without materializing every iteration.
     """
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = auto_partitions(spark, edges.count())
 
     if strategy == "csr":
         from .csr import csr_step, build_csr_blocks  # local import: optional path
+
+    # Pin the iterate loop's partitioning: AQE coalescing would re-plan
+    # every iteration (driver-serial work) and destabilize the per-partition
+    # lineage rows (SURVEY.md §4.2 R3). Measured ~20% faster at local[16]
+    # with AQE off for this loop; restored afterwards.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(
+            spark, edges, alpha, tol, max_iter, num_partitions, strategy,
+            checkpoint_dir, checkpoint_interval, start_iteration, start_ranks,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _pagerank_loop(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    num_partitions: int,
+    strategy: str,
+    checkpoint_dir: str | None,
+    checkpoint_interval: int,
+    start_iteration: int,
+    start_ranks: DataFrame | None,
+) -> PageRankResult:
+    if strategy == "csr":
+        from .csr import csr_step, build_csr_blocks
 
     ranks0, contribs, n, n_edges = _init_state(spark, edges, num_partitions)
     if start_ranks is not None:
@@ -179,35 +237,42 @@ def pagerank(
         csr_blocks = build_csr_blocks(edges, num_partitions).persist()
         csr_blocks.count()
 
+    from .edges import partition_lineage as _plin
+
+    part_lineage = [
+        (r["part"], r["edge_count"])
+        for r in _plin(contribs, num_partitions).collect()
+    ]
+
+    # missing mass for the first step: Σ score over dangling vertices (one
+    # scan of the cached ranks; afterwards each iteration's single aggregate
+    # hands back the NEXT iteration's dangling mass for free — replaces the
+    # reference's per-reducer side files + driver fold).
+    missing = (
+        ranks.where(F.col("dangling")).agg(F.sum("score").alias("m")).first()["m"]
+        or 0.0
+    )
+
     metrics: list[IterationMetrics] = []
     converged = False
     it = start_iteration
     while it < max_iter:
         t0 = time.monotonic()
-        # missing mass = Σ score over dangling vertices (cheap scan of cached ranks;
-        # replaces the reference's per-reducer side files + driver fold).
-        missing = (
-            ranks.where(F.col("dangling"))
-            .agg(F.sum("score").alias("m"))
-            .first()["m"]
-            or 0.0
-        )
         if strategy == "csr":
             new_ranks = csr_step(ranks, csr_blocks, n, missing, alpha, num_partitions)
         else:
             new_ranks = _edges_step(ranks, contribs, n, missing, alpha)
         new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        # one action → (L1 delta, total mass); checksum analog of CheckSumPageRank.java:44-55
-        old = ranks.select("id", F.col("score").alias("old_score"))
-        agg = (
-            new_ranks.join(old, "id")
-            .agg(
-                F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
-                F.sum("score").alias("total"),
-            )
-            .first()
-        )
+        # ONE action per iteration → (L1 delta, total mass, next dangling
+        # mass); checksum analog of CheckSumPageRank.java:44-55
+        agg = new_ranks.agg(
+            F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
+            F.sum("score").alias("total"),
+            F.sum(F.when(F.col("dangling"), F.col("score")).otherwise(0.0)).alias(
+                "dm"
+            ),
+        ).first()
         delta, total = float(agg["delta"]), float(agg["total"])
         it += 1
         metrics.append(
@@ -221,17 +286,20 @@ def pagerank(
                 wall_sec=time.monotonic() - t0,
             )
         )
-        ranks = new_ranks
+        ranks = new_ranks.select("id", "dangling", "score")
+        missing = float(agg["dm"])
         if checkpoint_dir and it % checkpoint_interval == 0:
-            _write_snapshot(ranks, metrics, it, checkpoint_dir)
+            _write_snapshot(ranks, metrics, it, checkpoint_dir,
+                            part_lineage=part_lineage)
         if delta <= tol:
             converged = True
             break
 
     if checkpoint_dir:
-        _write_snapshot(ranks, metrics, it, checkpoint_dir, final=True)
+        _write_snapshot(ranks, metrics, it, checkpoint_dir, final=True,
+                        part_lineage=part_lineage)
     result = ranks.select("id", "score")
-    return PageRankResult(result, it, converged, metrics)
+    return PageRankResult(result, it, converged, metrics, part_lineage)
 
 
 # ---------------------------------------------------------------- snapshots
@@ -246,6 +314,7 @@ def _write_snapshot(
     iteration: int,
     checkpoint_dir: str,
     final: bool = False,
+    part_lineage: list | None = None,
 ) -> None:
     path = _snapshot_path(checkpoint_dir, iteration)
     ranks.select("id", "score").write.mode("overwrite").parquet(path)
@@ -254,6 +323,7 @@ def _write_snapshot(
         "final": final,
         "ranks_path": path,
         "metrics": [vars(m) for m in metrics],
+        "partition_lineage": [list(t) for t in (part_lineage or [])],
     }
     tmp = os.path.join(checkpoint_dir, "_manifest.tmp")
     with open(tmp, "w") as f:

@@ -799,3 +799,22 @@ def q_emb_ann_lsh(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )
+
+
+@register(
+    "g_adjacency",
+    f"""WITH {EDGES_CTE}
+    SELECT src_id AS id,
+           array_to_string(list_sort(list(dst_id)), ',') AS dsts,
+           count(*) AS out_degree
+    FROM edges GROUP BY src_id""",
+)
+def q_adjacency(spark, sf_dir):
+    """A2: adjacency assembly (BuildTextGraph group-by-src + dedup),
+    serialized to a string for cross-engine hashing."""
+    e = doc_edges(spark, sf_dir)
+    return E.adjacency_lists(e).select(
+        "id",
+        F.array_join(F.col("dsts"), ",").alias("dsts"),
+        F.size("dsts").cast("long").alias("out_degree"),
+    )

@@ -1,0 +1,59 @@
+"""Text/CSV sources and sinks (reference operators S1, S6, S10).
+
+The reference reads positional CSV text (`TextInputFormat` + split(","),
+PrepareFirstJoin.java:40-41), writes text with a configurable separator
+(`mapred.textoutputformat.separator`, PrepareDataset.java:70,315), and dumps
+binary records to plain text (DumpPageRankRecordsToPlainText.java:36-94).
+Here: schema-explicit CSV scans (no inference — the reference's positional
+contract made explicit), CSV sinks with configurable separator, and a
+plain-text dump for ranks tables. Single-file report output uses
+``coalesce(1)`` — only ever for small reports (the copyMerge analog,
+BuildTextGraph.java:200-208).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TX_SCHEMA = "id long, hash string"
+TXIN_SCHEMA = (
+    "id long, tx_idx int, prev_out string, prev_out_index long, tx_id long"
+)
+TXOUT_SCHEMA = (
+    "id long, tx_idx int, address string, value long, type string, tx_id long"
+)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, sep: str = ","
+) -> DataFrame:
+    """Schema-explicit CSV scan (S1). Malformed rows → nulls (PERMISSIVE),
+    matching the reference's skip-on-null-guard behavior (P2)."""
+    return spark.read.schema(schema).option("sep", sep).option(
+        "mode", "PERMISSIVE"
+    ).csv(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", single_file: bool = False
+) -> None:
+    """CSV sink with configurable separator (S6). ``single_file`` is the
+    copyMerge analog (S9) — reports only, never large tables."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("sep", sep).csv(path)
+
+
+def dump_ranks_text(
+    ranks: DataFrame, path: str, log_space: bool = False
+) -> None:
+    """Plain-text rank dump (S10): one ``id<TAB>score`` line per vertex.
+    ``log_space=True`` reproduces the reference's log-score %.5f format
+    (FindMaxPageRankNodes.java:91 / SequentialPageRank.java:98)."""
+    score = F.log(F.col("score")) if log_space else F.col("score")
+    lines = ranks.select(
+        F.concat_ws(
+            "\t", F.col("id").cast("string"), F.format_number(score, 5)
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+from oracles import pagerank_oracle
+
+from bitcoinpagerank_spark.operators.pagerank import (
+    load_snapshot,
+    pagerank,
+    resume_pagerank,
+)
+
+
+def _graph(seed=13, n=100, p=0.04):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    return [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+
+
+def test_snapshot_and_resume_match_straight_run(spark, tmp_path):
+    edges = _graph()
+    e = edges_df(spark, edges)
+    straight = pagerank(spark, e, tol=1e-9, max_iter=100)
+
+    ckpt = str(tmp_path / "ck")
+    partial = pagerank(
+        spark, e, tol=1e-9, max_iter=4, checkpoint_dir=ckpt, checkpoint_interval=2
+    )
+    assert not partial.converged
+    it, manifest = load_snapshot(ckpt)
+    assert it == 4 and manifest["final"]
+    assert len(manifest["metrics"]) == 4
+
+    resumed = resume_pagerank(spark, e, ckpt, tol=1e-9, max_iter=100)
+    assert resumed.converged
+    assert resumed.iterations == straight.iterations
+    # full metrics history survives the resume (lineage requirement)
+    assert [m.iteration for m in resumed.metrics] == list(
+        range(1, resumed.iterations + 1)
+    )
+
+    a = {r["id"]: r["score"] for r in straight.ranks.collect()}
+    b = {r["id"]: r["score"] for r in resumed.ranks.collect()}
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-12)
+    want = pagerank_oracle(edges)
+    for v in want:
+        assert b[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_resume_without_snapshot_starts_fresh(spark, tmp_path):
+    e = edges_df(spark, _graph(seed=5, n=40))
+    res = resume_pagerank(spark, e, str(tmp_path / "none"), tol=1e-6, max_iter=50)
+    assert res.converged
+
+
+def test_metrics_lineage_rows(spark):
+    e = edges_df(spark, _graph(seed=7, n=60))
+    res = pagerank(spark, e, tol=1e-6, max_iter=50)
+    mdf = res.metrics_df(spark)
+    rows = mdf.collect()
+    assert len(rows) == res.iterations
+    for r in rows:
+        assert r["total_mass"] == pytest.approx(1.0, abs=1e-9)
+        assert r["edges_processed"] > 0
+        assert r["num_partitions"] >= 1
+        assert r["wall_sec"] > 0
+    # delta decreases overall (monotone-ish for power iteration)
+    deltas = [r["delta_l1"] for r in sorted(rows, key=lambda x: x["iteration"])]
+    assert deltas[-1] < deltas[0]
