@@ -112,7 +112,7 @@ def single_run(cores: int) -> dict:
     # ---- job 1: PageRank on the big arithmetic graph
     edges = synth_edges(spark, PR_VERTICES, cores).persist()
     n_edges = edges.count()
-    pagerank(spark, edges, tol=0.0, max_iter=1, num_partitions=cores)  # warmup
+    pagerank(spark, edges, tol=0.0, max_iter=4, num_partitions=cores)  # deep warmup: JIT needs several iterations
     t0 = time.monotonic()
     res = pagerank(spark, edges, tol=0.0, max_iter=ITERS, num_partitions=cores)
     pr_wall = time.monotonic() - t0
