@@ -1,0 +1,132 @@
+"""spark-submit entry point (north_rule: ``spark-submit --py-files``).
+
+    spark-submit --py-files bitcoinpagerank_spark.zip -m ...   # cluster
+    python -m bitcoinpagerank_spark <command> ...              # local
+
+Commands mirror the reference's driver mains (PrepareDataset,
+BuildTextGraph, RunPageRankBasic, FindMaxPageRankNodes, CheckSumPageRank —
+SURVEY.md §3):
+
+  etl        pages parquet → edges parquet (+ url dictionary)
+  pagerank   edges parquet → ranks parquet (checkpointed, resumable)
+  components edges parquet → (id, component) parquet
+  labelprop  edges parquet → (id, label) parquet
+  triangles  edges parquet → triangle count on stdout
+  topk       ranks parquet → top-k report (CSV or text dump)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bitcoinpagerank_spark")
+    ap.add_argument("command", choices=[
+        "etl", "pagerank", "components", "labelprop", "triangles", "topk",
+    ])
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--output", help="output parquet/csv path")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--alpha", type=float, default=0.15)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--strategy", default="edges", choices=["edges", "csr"])
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-interval", type=int, default=10)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest snapshot in --checkpoint-dir")
+    ap.add_argument("--k", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"bpr-{args.command}", master=args.master)
+
+    if args.command == "etl":
+        from .plans.linkgraph import build_link_graph
+
+        pages = spark.read.parquet(args.input)
+        lg = build_link_graph(pages, num_partitions=args.partitions)
+        lg.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        lg.url_dict.write.mode("overwrite").parquet(f"{args.output}/url_dict")
+        print(json.dumps({"edges": f"{args.output}/edges",
+                          "url_dict": f"{args.output}/url_dict"}))
+        return 0
+
+    if args.command == "pagerank":
+        from .operators.pagerank import pagerank, resume_pagerank
+
+        edges = spark.read.parquet(args.input)
+        kw = dict(alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+                  num_partitions=args.partitions, strategy=args.strategy)
+        if args.resume and args.checkpoint_dir:
+            res = resume_pagerank(spark, edges, args.checkpoint_dir, **kw)
+        else:
+            res = pagerank(spark, edges, checkpoint_dir=args.checkpoint_dir,
+                           checkpoint_interval=args.checkpoint_interval, **kw)
+        if args.output:
+            res.ranks.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "final_delta_l1": res.metrics[-1].delta_l1 if res.metrics else None,
+            "total_mass": res.metrics[-1].total_mass if res.metrics else None,
+        }))
+        return 0
+
+    if args.command == "components":
+        from .operators.components import connected_components
+
+        res = connected_components(
+            spark, spark.read.parquet(args.input),
+            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.output:
+            res.labels.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations,
+                          "converged": res.converged,
+                          "num_components": res.num_components()}))
+        return 0
+
+    if args.command == "labelprop":
+        from .operators.labelprop import label_propagation
+
+        res = label_propagation(
+            spark, spark.read.parquet(args.input),
+            max_iter=min(args.max_iter, 20), num_partitions=args.partitions)
+        if args.output:
+            res.labels.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations,
+                          "converged": res.converged}))
+        return 0
+
+    if args.command == "triangles":
+        from .operators.triangles import triangle_count
+
+        n = triangle_count(spark.read.parquet(args.input))
+        print(json.dumps({"triangles": n}))
+        return 0
+
+    if args.command == "topk":
+        from .operators.pagerank import checksum, top_k
+        from .sources.tables import write_csv
+
+        ranks = spark.read.parquet(args.input)
+        top = top_k(ranks, args.k)
+        if args.output:
+            write_csv(top, args.output, single_file=True)
+        else:
+            for r in top.collect():
+                print(f"{r['id']}\t{r['score']:.5f}")
+        print(json.dumps({"k": args.k, "checksum": checksum(ranks)}),
+              file=sys.stderr)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
