@@ -360,13 +360,16 @@ def q_rel_composite_join(spark, sf_dir):
 @register(
     "rel_left_anti",
     """SELECT c_custkey, c_name FROM customer
-       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+       WHERE c_custkey NOT IN (SELECT user_id FROM events)""",
 )
 def q_rel_left_anti(spark, sf_dir):
+    """J4 analog with a non-trivial result: every customer has orders in
+    this testdata, so the anti-join runs against events instead (~90% of
+    customers have no events)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
     return c.join(
-        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+        ev, c["c_custkey"] == ev["user_id"], "left_anti"
     ).select("c_custkey", "c_name")
 
 
