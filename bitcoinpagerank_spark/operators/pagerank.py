@@ -262,17 +262,23 @@ def _pagerank_loop(
             new_ranks = csr_step(ranks, csr_blocks, n, missing, alpha, num_partitions)
         else:
             new_ranks = _edges_step(ranks, contribs, n, missing, alpha)
-        new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        # ONE action per iteration → (L1 delta, total mass, next dangling
-        # mass); checksum analog of CheckSumPageRank.java:44-55
-        agg = new_ranks.agg(
+        # ONE job per iteration: the convergence metrics ride the checkpoint
+        # materialization itself via observe() — (L1 delta, total mass, next
+        # dangling mass) cost zero extra stages. Checksum analog of
+        # CheckSumPageRank.java:44-55; side-file analog per SURVEY §2.1 S8.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"pr_iter_{it}")
+        new_ranks = new_ranks.observe(
+            obs,
             F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
             F.sum("score").alias("total"),
             F.sum(F.when(F.col("dangling"), F.col("score")).otherwise(0.0)).alias(
                 "dm"
             ),
-        ).first()
+        ).localCheckpoint(eager=True)
+        agg = obs.get
         delta, total = float(agg["delta"]), float(agg["total"])
         it += 1
         metrics.append(
