@@ -1,16 +1,35 @@
-"""Weakly-connected components via iterative-min label exchange.
+r"""Weakly-connected components via alternating large-star / small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — O(log n) shuffle rounds instead of O(diameter).
 
 The reference computes component counts only in its sequential JUNG oracle
 (SequentialPageRank.java:65-68, ``WeakComponentClusterer``); the north_rule
-promotes WCC to a first-class distributed operator: per iteration every
-vertex adopts the minimum label among itself and its neighbors (undirected
-view), until no label changes. Component label = min vertex id — matching
-a union-find oracle exactly.
+promotes WCC to a first-class distributed operator with the iterative-min
+output contract: component label = min vertex id of the component, exactly
+matching a union-find oracle.
 
-Scale shape: the (large, static) undirected edge table is hash-partitioned
-by src once and reused every iteration; only the (small) labels table
-re-shuffles. Label exchange is one join + min-aggregate — map-side partial
-aggregation caps shuffle volume at one row per (dst, partition).
+Why not min-label exchange: each exchange round moves a label one hop, so
+a web-crawl chain of length 10^4 costs 10^4 shuffles. Star contraction
+rewires every vertex toward its neighborhood minimum each round, halving
+tree heights — convergence in O(log n) rounds regardless of diameter.
+
+Per round (2 half-steps, each one groupBy-min + streamed equi-join — the
+min aggregate is map-side-combined so the shuffle carries one row per
+(vertex, map partition); no neighbor list is ever materialized, so heavy
+hubs cannot OOM an executor the way a collect_set formulation would):
+
+  large-star(u): m = min(Γ(u) ∪ {u});   emit (v, m) for v ∈ Γ(u), v > u
+  small-star(u): pairs oriented a > b;  m = min(N(u));
+                 emit (u, m) and (v, m) for v ∈ N(u) \ {m}
+
+Both steps preserve connectivity and the invariant a > b; the pair set is
+a star forest rooted at component minima at the fixpoint. Convergence is
+detected with ZERO extra jobs: (count, XOR of xxhash64(a,b)) of the new
+pair set ride the per-round eager localCheckpoint via observe() — the
+pattern pagerank.py:272 established — and an unchanged signature means
+the set reached its fixpoint (bit_xor is order-independent and cannot
+overflow, unlike a hash SUM under ANSI mode; pairs are distinct so XOR
+cancellation cannot hide a change of two identical rows).
 """
 
 from __future__ import annotations
@@ -18,10 +37,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Observation
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, undirected_view, vertices
+from .edges import SRC, DST, vertices
 
 
 @dataclass
@@ -35,6 +54,36 @@ class ComponentsResult:
         return self.labels.select("component").distinct().count()
 
 
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """(v, m) for every symmetric neighbor v > u, m = min(Γ(u) ∪ {u}).
+    Output keeps the a > b orientation (v > u ≥ m)."""
+    sym = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least(F.col("mn"), F.col("a")).alias("m"))
+    return (
+        sym.where(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """With pairs oriented a > b: every small neighbor (and a itself)
+    re-links to m = min(N(a)). Orientation is preserved (v ≥ m, v = m
+    dropped; a > all of N(a) ≥ m)."""
+    mins = pairs.groupBy("a").agg(F.min("b").alias("m"))
+    relink = (
+        pairs.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    self_edge = mins.select("a", F.col("m").alias("b"))
+    return relink.unionByName(self_edge).distinct()
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -46,51 +95,52 @@ def connected_components(
 
         num_partitions = auto_partitions(spark, edges.count())
 
-    und = undirected_view(edges).repartition(num_partitions, SRC).persist()
-    und.count()
-    labels = (
-        vertices(edges)
-        .withColumn("component", F.col("id"))
-        .repartition(num_partitions, "id")
+    # canonical oriented pair set: (max, min), self-loops dropped
+    pairs = (
+        edges.select(
+            F.greatest(F.col(SRC), F.col(DST)).alias("a"),
+            F.least(F.col(SRC), F.col(DST)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(num_partitions, "a")
         .localCheckpoint(eager=True)
     )
 
     converged = False
     it = 0
+    prev_sig: tuple | None = None
     metrics: list[dict] = []
     while it < max_iter:
         t0 = time.monotonic()
-        nbr_min = (
-            und.join(labels, und[SRC] == labels["id"], "inner")
-            .groupBy(DST)
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min[DST], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("component").alias("old")), "id"
-            )
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
+        stepped = _small_star(_large_star(pairs))
+        obs = Observation(f"cc_round_{it}")
+        new_pairs = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("hxor"),
+        ).localCheckpoint(eager=True)
+        agg = obs.get
+        sig = (agg["cnt"], agg["hxor"])
         it += 1
         metrics.append(
-            {"iteration": it, "changed": changed,
+            {"iteration": it, "pairs": int(agg["cnt"] or 0),
              "wall_sec": time.monotonic() - t0}
         )
-        labels = new_labels
-        if changed == 0:
+        pairs = new_pairs
+        if sig == prev_sig:
             converged = True
             break
-    und.unpersist()
+        prev_sig = sig
+
+    # at the fixpoint each non-root vertex appears exactly once as `a`
+    # (star forest); the groupBy-min also makes a max_iter cutoff safe
+    roots = pairs.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("root")
+    )
+    labels = (
+        vertices(edges)
+        .join(roots, "id", "left")
+        .select("id", F.coalesce("root", F.col("id")).alias("component"))
+    )
     return ComponentsResult(labels, it, converged, metrics)

@@ -9,6 +9,9 @@ and ``changed == 0`` exits early).
 
 Plan shape per iteration: join(labels) → groupBy(vertex,label).count →
 window row_number over (count desc, label asc) — all Catalyst built-ins.
+Convergence detection costs zero extra jobs: the changed-count rides the
+per-iteration eager localCheckpoint via observe() (the pagerank.py:272
+pattern), so the Spark UI shows exactly one job per iteration.
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, undirected_view, vertices
@@ -67,19 +70,24 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("vid", F.col("label").alias("new_label"))
         )
+        obs = Observation(f"lpa_iter_{it}")
         new_labels = (
             labels.join(best, labels["id"] == best["vid"], "left")
             .select(
                 "id",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                F.col("label").alias("old"),
             )
-            .localCheckpoint(eager=False)
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.select("id", F.col("label").alias("old")), "id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
+        new_labels = new_labels.select("id", "label")
         it += 1
         metrics.append(
             {"iteration": it, "changed": changed,

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import G_CYCLE, G_LINE, G_STAR, G_TRI, G_TWO_CC, edges_df
 from oracles import components_oracle, lpa_oracle, triangles_oracle
@@ -46,6 +47,22 @@ def test_components_random(spark):
     want = components_oracle(edges)
     assert got == want
     assert res.num_components() == len(set(want.values()))
+
+
+def test_components_path_graph_logarithmic_rounds(spark):
+    """Star contraction must converge in O(log n) rounds on a long path —
+    the case that kills diameter-bound min-label exchange (10k-vertex
+    path = 10k label-exchange rounds; large-star/small-star needs ~log2)."""
+    import math
+
+    n = 10_000
+    edges = [(i, i + 1) for i in range(1, n)]
+    res = connected_components(spark, edges_df(spark, edges), max_iter=40)
+    assert res.converged
+    assert res.iterations <= 2 * math.ceil(math.log2(n))
+    assert res.num_components() == 1
+    # every vertex labelled with the component minimum
+    assert res.labels.where(F.col("component") != 1).count() == 0
 
 
 def test_two_cc_labels(spark):
