@@ -111,18 +111,54 @@ def shingle_ids(token_ids: Column) -> Column:
     )
 
 
-def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(token, tid) — dense ids by lexicographic token order.
+def token_dictionary(
+    docs: DataFrame, text_col: str = "text", num_partitions: int | None = None
+) -> DataFrame:
+    """(token, tid) — dense ids by lexicographic token order, built WITHOUT
+    a single-partition global window: the vocabulary is range-partitioned
+    by token, a one-row-per-partition count job computes cumulative
+    offsets, and tid = offset(partition) + row_number within the
+    partition. Every stage is parallel; the only driver-side data is the
+    P-row offset table (broadcast back). Range partitioning guarantees
+    tokens in partition i sort before partition i+1, so the ids are
+    bit-identical to a global ``row_number() OVER (ORDER BY token)`` —
+    the DuckDB-oracle definition.
 
-    A global sort is acceptable for oracle-parity paths; the scale path
-    uses xxhash64(token) directly (no dictionary, no sort) — see
-    operators/dedup.py.
+    For pipelines that don't need dense/sorted ids at all, the cheaper
+    scale path is no dictionary: tid = xxhash64(token) (one shuffle fewer)
+    — see operators/dedup.py ``doc_token_ids(dictionary=None)``.
     """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = docs.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     ).distinct()
-    w = Window.orderBy("token")
-    return toks.withColumn("tid", F.row_number().over(w))
+    # freeze the range partitioning: repartitionByRange samples its
+    # boundaries, so the pid column must be materialized once and reused
+    # by both the count job and the id job
+    ranged = (
+        toks.repartitionByRange(num_partitions, "token")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["c"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(num_partitions):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    offsets_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("token")
+    return (
+        ranged.join(F.broadcast(offsets_df), "pid")
+        .select(
+            "token",
+            (F.col("off") + F.row_number().over(w)).cast("long").alias("tid"),
+        )
+    )
 
 
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
