@@ -79,11 +79,13 @@ def _hyperplane(j: int, dim: int) -> list[float]:
     return vals
 
 
-def lsh_bucket_col(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Sign-bit bucket id from ``bits`` fixed hyperplanes."""
+def lsh_bucket_col(vec: Column, dim: int, bits: int = 8, offset: int = 0) -> Column:
+    """Sign-bit bucket id from ``bits`` fixed hyperplanes. ``offset`` shifts
+    the hyperplane index range — hash table t uses offset=t*bits, giving
+    independent bucketings for multi-table (recall-recovering) LSH."""
     bucket = F.lit(0)
     for j in range(bits):
-        h = F.array(*[F.lit(v) for v in _hyperplane(j, dim)])
+        h = F.array(*[F.lit(v) for v in _hyperplane(offset + j, dim)])
         bit = F.when(dot_expr(vec, h) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")

@@ -200,8 +200,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
 
-    Brute-force O(n²) — correct baseline; the scale path buckets by LSH
-    sign-bits first (operators/ann.py) and runs this within buckets."""
+    Brute-force O(n²) — the small-n oracle. The scale path is
+    ``lsh_neardup_pairs`` below: same columns, approximate (subset of this
+    result), candidate space reduced ~2^bits/num_tables-fold."""
     from .ann import cosine_expr
 
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -210,4 +211,64 @@ def embedding_neardup_pairs(
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    num_tables: int = 2,
+) -> DataFrame:
+    """Bucketed near-duplicate pairs — the 100-TB path promised by
+    ``embedding_neardup_pairs``.
+
+    Vectors are hashed into 2^bits sign-bit buckets per hash table
+    (``ann.lsh_bucket_col``; table t uses an independent hyperplane set via
+    offset=t*bits); candidate pairs are same-(table, bucket) equi-join
+    matches — the bucket column is the shuffle key, so at 10^9 vectors the
+    pair space is ~n²·num_tables/2^bits instead of n². The exact cosine is
+    then computed only for deduplicated candidates. The result is a
+    deterministic SUBSET of the brute-force output with identical scores
+    (recall < 1 by design; raise num_tables to recover recall, raise bits
+    to shrink buckets)."""
+    from .ann import cosine_expr, lsh_bucket_col
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_col(F.col(vec_col), dim, bits, offset=t * bits).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    banded = embeddings.select(
+        F.col(id_col).alias("id"), F.explode(tables).alias("tb")
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
     )

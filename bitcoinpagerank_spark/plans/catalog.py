@@ -791,6 +791,57 @@ def q_emb_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _lsh_neardup_sql(
+    dim: int = 64, bits: int = 4, num_tables: int = 2, threshold: float = 0.35
+) -> str:
+    """DuckDB mirror of ``lsh_neardup_pairs``: the deterministic hyperplanes
+    are embedded as double literals; both engines fold the dot product
+    left-to-right over doubles, so the sign-bit buckets agree exactly."""
+    from ..operators.ann import _hyperplane
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for j in range(bits):
+            lits = ", ".join(repr(v) for v in _hyperplane(t * bits + j, dim))
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+                f"[{lits}]) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, {bucket_expr(t)} AS bucket "
+        "FROM embeddings"
+        for t in range(num_tables)
+    )
+    return f"""WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 4) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) >= {threshold}"""
+
+
+@register("emb_neardup_lsh", _lsh_neardup_sql())
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Scale path of emb_neardup: LSH-bucketed candidates (2 hash tables ×
+    16 buckets) instead of the all-pairs nested-loop join; output is a
+    deterministic subset of emb_neardup with identical scores."""
+    from ..operators.dedup import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(emb, dim=64, threshold=0.35, bits=4, num_tables=2)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 # rows-only: LSH-bucketed ANN (approximate by design — no SQL oracle)
 @register("emb_ann_lsh", None)
 def q_emb_ann_lsh(spark, sf_dir):

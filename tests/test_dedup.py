@@ -98,3 +98,35 @@ def test_embedding_neardup(spark):
         (r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_lsh_neardup_subset_of_brute_force(spark):
+    """Scale path contract: lsh_neardup_pairs returns a subset of the
+    brute-force pairs with identical cosine scores, and catches every
+    true near-duplicate whose vectors land in a shared bucket. On the
+    driver testdata embeddings the recall at threshold 0.35 is > 0."""
+    from bitcoinpagerank_spark.operators.dedup import lsh_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            emb, dim=64, threshold=0.35, bits=4, num_tables=2
+        ).collect()
+    }
+    assert lsh, "LSH near-dup found nothing on testdata"
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == pytest.approx(brute[pair], abs=1e-12)
+    # more tables can only add candidates (monotone recall)
+    lsh4 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb, dim=64, threshold=0.35, bits=4, num_tables=4
+        ).collect()
+    }
+    assert set(lsh) <= lsh4 <= set(brute)
