@@ -16,8 +16,8 @@ pipeline, see /root/reference) as an idiomatic Spark SQL engine:
                   ANN similarity operators for training-data pipelines.
 - ``plans``     — the reference's relational join chain re-expressed as
                   declarative DataFrame plans, lineage metrics, checkpoints.
-- ``streaming`` — intentionally empty: the reference is pure batch
-                  (SURVEY.md §2.9); resumability is batch-incremental.
+- streaming     — out of scope (the reference is pure batch, SURVEY.md
+                  §2.9); resumability is batch-incremental.
 """
 
 __version__ = "0.1.0"

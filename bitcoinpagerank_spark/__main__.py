@@ -35,7 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--strategy", default="edges", choices=["edges", "csr"])
-    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="snapshot dir; must be a driver-visible POSIX path "
+                         "(manifest uses local file I/O) — on a cluster use "
+                         "shared storage mounted on the driver")
     ap.add_argument("--checkpoint-interval", type=int, default=10)
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest snapshot in --checkpoint-dir")
@@ -62,12 +65,12 @@ def main(argv: list[str] | None = None) -> int:
 
         edges = spark.read.parquet(args.input)
         kw = dict(alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
-                  num_partitions=args.partitions, strategy=args.strategy)
+                  num_partitions=args.partitions, strategy=args.strategy,
+                  checkpoint_interval=args.checkpoint_interval)
         if args.resume and args.checkpoint_dir:
             res = resume_pagerank(spark, edges, args.checkpoint_dir, **kw)
         else:
-            res = pagerank(spark, edges, checkpoint_dir=args.checkpoint_dir,
-                           checkpoint_interval=args.checkpoint_interval, **kw)
+            res = pagerank(spark, edges, checkpoint_dir=args.checkpoint_dir, **kw)
         if args.output:
             res.ranks.write.mode("overwrite").parquet(args.output)
         print(json.dumps({

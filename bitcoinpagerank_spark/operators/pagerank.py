@@ -170,6 +170,8 @@ def pagerank(
     checkpoint_interval: int = 10,
     start_iteration: int = 0,
     start_ranks: DataFrame | None = None,
+    prior_metrics: list["IterationMetrics"] | None = None,
+    csr_max_block_edges: int | None = None,
 ) -> PageRankResult:
     """Run PageRank on a (src_id, dst_id) edge DataFrame.
 
@@ -183,6 +185,12 @@ def pagerank(
     per-iteration lineage metrics). ``resume_pagerank`` continues from the
     latest snapshot — analog of the reference's ``iter%04d`` HDFS dirs
     (RunPageRankBasic.java:359-361) without materializing every iteration.
+    ``checkpoint_dir`` must be a driver-visible POSIX path (the manifest is
+    written with local file I/O; ranks go through the Hadoop FS layer) —
+    on a cluster, point it at shared storage mounted on the driver.
+    ``prior_metrics`` seeds the lineage history so snapshots written during
+    a resumed run carry the full pre-resume trajectory (a second
+    interrupt+resume keeps every iteration's metrics).
     """
     if num_partitions is None:
         num_partitions = auto_partitions(spark, edges.count())
@@ -200,6 +208,7 @@ def pagerank(
         return _pagerank_loop(
             spark, edges, alpha, tol, max_iter, num_partitions, strategy,
             checkpoint_dir, checkpoint_interval, start_iteration, start_ranks,
+            prior_metrics, csr_max_block_edges,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -217,9 +226,11 @@ def _pagerank_loop(
     checkpoint_interval: int,
     start_iteration: int,
     start_ranks: DataFrame | None,
+    prior_metrics: list[IterationMetrics] | None = None,
+    csr_max_block_edges: int | None = None,
 ) -> PageRankResult:
     if strategy == "csr":
-        from .csr import csr_step, build_csr_blocks
+        from .csr import csr_step, build_csr_blocks, DEFAULT_MAX_BLOCK_EDGES
 
     ranks0, contribs, n, n_edges = _init_state(spark, edges, num_partitions)
     if start_ranks is not None:
@@ -234,7 +245,11 @@ def _pagerank_loop(
 
     csr_blocks = None
     if strategy == "csr":
-        csr_blocks = build_csr_blocks(edges, num_partitions).persist()
+        csr_blocks = build_csr_blocks(
+            edges,
+            num_partitions,
+            max_block_edges=csr_max_block_edges or DEFAULT_MAX_BLOCK_EDGES,
+        ).persist()
         csr_blocks.count()
 
     from .edges import partition_lineage as _plin
@@ -253,7 +268,7 @@ def _pagerank_loop(
         or 0.0
     )
 
-    metrics: list[IterationMetrics] = []
+    metrics: list[IterationMetrics] = list(prior_metrics or [])
     converged = False
     it = start_iteration
     while it < max_iter:
@@ -357,17 +372,16 @@ def resume_pagerank(
         return pagerank(spark, edges, checkpoint_dir=checkpoint_dir, **kwargs)
     iteration, manifest = snap
     ranks = spark.read.parquet(manifest["ranks_path"])
-    res = pagerank(
+    prior = [IterationMetrics(**m) for m in manifest["metrics"]]
+    return pagerank(
         spark,
         edges,
         checkpoint_dir=checkpoint_dir,
         start_iteration=iteration,
         start_ranks=ranks,
+        prior_metrics=prior,
         **kwargs,
     )
-    prior = [IterationMetrics(**m) for m in manifest["metrics"]]
-    res.metrics = prior + res.metrics
-    return res
 
 
 def checksum(ranks: DataFrame, digits: int = 2) -> float:

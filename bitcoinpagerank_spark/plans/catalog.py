@@ -56,10 +56,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     """Deterministic (src_id, dst_id) edge table derived from documents:
     linkers are doc_id % 5 != 0; targets (id*7+1, id*13+3) mod n, plus
-    (id*19+7) mod n for doc_id % 3 == 0; dedup, no self-loops."""
+    (id*19+7) mod n for doc_id % 3 == 0; no self-loops. ``dedup=True``
+    (default) gives the simple graph (BuildTextGraph semantics);
+    ``dedup=False`` keeps parallel edges (BuildTextMultigraph.java:76-92)."""
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     base = docs.select("doc_id").where(F.col("doc_id") % 5 != 0)
@@ -83,7 +85,13 @@ def doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return E.dedup_edges(e)
+    if dedup:
+        return E.dedup_edges(e)
+    return e.where(
+        F.col("src_id").isNotNull()
+        & F.col("dst_id").isNotNull()
+        & (F.col("src_id") != F.col("dst_id"))
+    )
 
 
 # one CTE block shared by every graph oracle (DuckDB side)
@@ -467,6 +475,67 @@ def q_rel_window_latest_order(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "rel_right_outer",
+    """SELECT c_custkey, coalesce(e.event_id, -1) AS event_id
+       FROM events e RIGHT JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_rel_right_outer(spark, sf_dir):
+    """J5 parity: rightouter of the reference's generic join kernel
+    (PrepareFirstJoin.java:123-200, join.type=rightouter). ~90% of
+    customers have no events, so the null-padding path is exercised
+    (padded ids surfaced as -1 for hash-stable cross-engine compare)."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return ev.join(c, ev["user_id"] == c["c_custkey"], "right").select(
+        "c_custkey", F.coalesce("event_id", F.lit(-1)).alias("event_id")
+    )
+
+
+@register(
+    "rel_full_outer",
+    """SELECT coalesce(l.k, -1) AS lk, coalesce(r.k, -1) AS rk
+       FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0) l
+       FULL OUTER JOIN
+            (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0) r
+       ON l.k = r.k""",
+)
+def q_rel_full_outer(spark, sf_dir):
+    """J5 parity: fullouter (both-side null padding; left-only %3,
+    right-only %2, both %6; padding surfaced as -1 for hash-stable
+    cross-engine compare)."""
+    c = _t(spark, sf_dir, "customer")
+    l = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("lk")
+    )
+    r = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("rk")
+    )
+    return l.join(r, l["lk"] == r["rk"], "full").select(
+        F.coalesce("lk", F.lit(-1)).alias("lk"),
+        F.coalesce("rk", F.lit(-1)).alias("rk"),
+    )
+
+
+@register(
+    "rel_symmetric_anti",
+    """SELECT k FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0)
+       WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+       UNION ALL
+       SELECT k FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0)
+       WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)""",
+)
+def q_rel_symmetric_anti(spark, sf_dir):
+    """J5 parity: the reference kernel's XOR-style anti (emit when exactly
+    one side has the key) via plans.joins.symmetric_anti."""
+    from .joins import symmetric_anti
+
+    c = _t(spark, sf_dir, "customer")
+    l = c.where(F.col("c_custkey") % 3 == 0).select(F.col("c_custkey").alias("k"))
+    r = c.where(F.col("c_custkey") % 2 == 0).select(F.col("c_custkey").alias("k"))
+    return symmetric_anti(l, r, "k")
 
 
 # ========================================================== events queries
@@ -868,6 +937,26 @@ def q_adjacency(spark, sf_dir):
     serialized to a string for cross-engine hashing."""
     e = doc_edges(spark, sf_dir)
     return E.adjacency_lists(e).select(
+        "id",
+        F.array_join(F.col("dsts"), ",").alias("dsts"),
+        F.size("dsts").cast("long").alias("out_degree"),
+    )
+
+
+@register(
+    "g_adjacency_multi",
+    f"""WITH {EDGES_CTE}
+    SELECT src_id AS id,
+           array_to_string(list_sort(list(dst_id)), ',') AS dsts,
+           count(*) AS out_degree
+    FROM (SELECT src_id, dst_id FROM e0 WHERE src_id <> dst_id)
+    GROUP BY src_id""",
+)
+def q_adjacency_multi(spark, sf_dir):
+    """A3: multigraph adjacency — parallel edges kept
+    (BuildTextMultigraph.java:76-92, collect_list instead of collect_set)."""
+    e = doc_edges(spark, sf_dir, dedup=False)
+    return E.adjacency_lists(e, dedup=False).select(
         "id",
         F.array_join(F.col("dsts"), ",").alias("dsts"),
         F.size("dsts").cast("long").alias("out_degree"),

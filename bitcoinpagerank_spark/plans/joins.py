@@ -87,6 +87,17 @@ def remaining_nodes(edges: DataFrame) -> DataFrame:
     return dsts.join(srcs, "address", "left_anti")
 
 
+def symmetric_anti(left: DataFrame, right: DataFrame, on: str | list) -> DataFrame:
+    """XOR join: rows whose key appears in exactly one input — the fifth
+    type of the reference's generic join kernel (``join.type=anti``,
+    PrepareFirstJoin.java:123-200, which emits a row only when exactly one
+    side's value list is empty). Composed from two native left-anti joins;
+    both sides must share a schema."""
+    return left.join(right, on, "left_anti").unionByName(
+        right.join(left, on, "left_anti")
+    )
+
+
 def filter_unknown(edges: DataFrame) -> DataFrame:
     """P3: drop edges touching the literal 'unknown' address
     (BuildTextGraph.java:71-77)."""

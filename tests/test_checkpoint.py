@@ -71,3 +71,26 @@ def test_metrics_lineage_rows(spark):
     # delta decreases overall (monotone-ish for power iteration)
     deltas = [r["delta_l1"] for r in sorted(rows, key=lambda x: x["iteration"])]
     assert deltas[-1] < deltas[0]
+
+
+def test_double_interrupt_resume_keeps_full_lineage(spark, tmp_path):
+    """Snapshots written DURING a resumed run must carry the pre-resume
+    metrics, so a second interrupt+resume still has the full trajectory."""
+    edges = _graph(seed=21, n=80)
+    e = edges_df(spark, edges)
+    ckpt = str(tmp_path / "ck2")
+
+    pagerank(spark, e, tol=1e-12, max_iter=3,
+             checkpoint_dir=ckpt, checkpoint_interval=2)
+    # first resume: run 3 more iterations, snapshots every 2
+    resume_pagerank(spark, e, ckpt, tol=1e-12, max_iter=6,
+                    checkpoint_interval=2)
+    _, manifest = load_snapshot(ckpt)
+    # the manifest written during the RESUMED run has iterations 1..6
+    assert [m["iteration"] for m in manifest["metrics"]] == [1, 2, 3, 4, 5, 6]
+    # second resume sees the whole history too
+    final = resume_pagerank(spark, e, ckpt, tol=1e-9, max_iter=100)
+    assert final.converged
+    assert [m.iteration for m in final.metrics] == list(
+        range(1, final.iterations + 1)
+    )
