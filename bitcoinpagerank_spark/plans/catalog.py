@@ -191,12 +191,38 @@ def q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
-def _pagerank_iter_sql(iters: int) -> str:
-    """Unrolled damped PageRank (§2.12 semantics) as chained CTEs."""
+def _pagerank_iter_sql(
+    iters: int,
+    edges_name: str = "edges",
+    verts_name: str = "verts",
+    extra_cte: str = "",
+    teleport_sql: str | None = None,
+) -> str:
+    """Unrolled damped PageRank (§2.12 semantics) as chained CTEs.
+
+    ``teleport_sql``: expression in terms of ``v.id`` giving the teleport
+    weight per vertex (default uniform 1.0/cnt); dangling mass is
+    redistributed through the same vector — covers both standard and
+    personalized PageRank. ``edges_name`` lets the multigraph variant
+    iterate over the non-deduplicated edge CTE."""
+    # keep single-rounding float expressions on the uniform path (matches
+    # the Spark side's alpha/n and missing/n literals exactly)
+    init_tp = teleport_sql if teleport_sql else "1.0/cnt"
+    if teleport_sql:
+        update = (
+            f"0.15*({teleport_sql}) + 0.85*(coalesce(recv, 0.0) "
+            f"+ miss*({teleport_sql}))"
+        )
+    else:
+        update = "0.15/cnt + 0.85*(coalesce(recv, 0.0) + miss/cnt)"
     parts = [
         f"WITH {EDGES_CTE},",
-        "deg AS (SELECT src_id, count(*) AS d FROM edges GROUP BY 1),",
-        "r0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    if extra_cte:
+        parts.append(extra_cte.rstrip().rstrip(",") + ",")
+    parts += [
+        f"deg AS (SELECT src_id, count(*) AS d FROM {edges_name} GROUP BY 1),",
+        f"r0 AS (SELECT v.id, {init_tp} AS score FROM {verts_name} v, n),",
     ]
     for i in range(iters):
         prev, cur = f"r{i}", f"r{i+1}"
@@ -207,13 +233,14 @@ def _pagerank_iter_sql(iters: int) -> str:
 ),
 recv{i} AS (
   SELECT e.dst_id AS id, sum(r.score / deg.d) AS recv
-  FROM edges e JOIN {prev} r ON e.src_id = r.id JOIN deg ON e.src_id = deg.src_id
+  FROM {edges_name} e JOIN {prev} r ON e.src_id = r.id
+  JOIN deg ON e.src_id = deg.src_id
   GROUP BY e.dst_id
 ),
 {cur} AS (
   SELECT v.id,
-         0.15/cnt + 0.85*(coalesce(recv, 0.0) + miss/cnt) AS score
-  FROM verts v CROSS JOIN n CROSS JOIN m{i}
+         {update} AS score
+  FROM {verts_name} v CROSS JOIN n CROSS JOIN m{i}
   LEFT JOIN recv{i} rc ON v.id = rc.id
 ),"""
         )
@@ -229,6 +256,53 @@ recv{i} AS (
 def q_pagerank_iter3(spark, sf_dir):
     e = doc_edges(spark, sf_dir)
     res = pagerank(spark, e, tol=0.0, max_iter=3)
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+_PPR_TP = "CASE WHEN v.id % 10 = 0 THEN 1.0/scnt ELSE 0.0 END"
+_PPR_CTE = "s AS (SELECT count(*) AS scnt FROM verts WHERE id % 10 = 0)"
+
+
+@register(
+    "g_pagerank_personalized_iter2",
+    _pagerank_iter_sql(2, extra_cte=_PPR_CTE, teleport_sql=_PPR_TP)
+    .replace("FROM verts v, n)", "FROM verts v, n, s)")
+    .replace("FROM verts v CROSS JOIN n", "FROM verts v CROSS JOIN n CROSS JOIN s"),
+)
+def q_pagerank_personalized_iter2(spark, sf_dir):
+    """Personalized PageRank, teleport set = vertices with id % 10 == 0,
+    2 fixed iterations (unrolled-SQL verifiable)."""
+    from ..operators.pagerank import personalized_pagerank
+
+    e = doc_edges(spark, sf_dir)
+    sources = E.vertices(e).where(F.col("id") % 10 == 0)
+    res = personalized_pagerank(spark, e, sources, tol=0.0, max_iter=2)
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+_MULTI_CTE = """em AS (SELECT src_id, dst_id FROM e0 WHERE src_id <> dst_id),
+mverts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src_id AS id FROM em UNION ALL SELECT dst_id FROM em
+  )
+)"""
+
+
+@register(
+    "g_pagerank_multi_iter2",
+    _pagerank_iter_sql(
+        2, edges_name="em", verts_name="mverts", extra_cte=_MULTI_CTE
+    ).replace("1.0/cnt AS score FROM mverts v, n",
+              "1.0/(SELECT count(*) FROM mverts) AS score FROM mverts v, n")
+    .replace("0.15/cnt", "0.15/(SELECT count(*) FROM mverts)")
+    .replace("miss/cnt", "miss/(SELECT count(*) FROM mverts)"),
+)
+def q_pagerank_multi_iter2(spark, sf_dir):
+    """Multigraph PageRank (BuildTextMultigraph.java:76-92 semantics):
+    parallel edges each carry 1/out_degree where out_degree counts
+    duplicates — a doubled link contributes twice."""
+    e = doc_edges(spark, sf_dir, dedup=False)
+    res = pagerank(spark, e, tol=0.0, max_iter=2)
     return res.ranks.select("id", F.round("score", 9).alias("score"))
 
 
@@ -289,6 +363,43 @@ def q_top_out_degree(spark, sf_dir):
         .orderBy(F.desc("out_degree"), F.asc("id"))
         .limit(20)
     )
+
+
+@register(
+    "g_triangles_per_vertex",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    tris AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT id, count(*) AS triangles FROM (
+      SELECT x AS id FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    ) GROUP BY id""",
+)
+def q_triangles_per_vertex(spark, sf_dir):
+    from ..operators.triangles import triangle_count_per_vertex
+
+    return triangle_count_per_vertex(doc_edges(spark, sf_dir)).select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+# rows-only (iterative peeling — not one-shot-SQL-expressible; validated
+# against a python peel oracle in tests/test_graph_algos.py)
+@register("g_kcore3", None)
+def q_kcore3(spark, sf_dir):
+    from ..operators.kcore import k_core
+
+    res = k_core(spark, doc_edges(spark, sf_dir), k=3)
+    return res.vertices.select("id", F.col("degree").cast("long").alias("degree"))
 
 
 # rows-only (non-SQL-expressible fixpoints): full convergence runs

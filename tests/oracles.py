@@ -119,3 +119,64 @@ def lpa_oracle(
         if not changed:
             break
     return labels
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    sources: set[int],
+    alpha: float = ALPHA,
+    tol: float = 1e-12,
+    max_iter: int = 10_000,
+) -> dict[int, float]:
+    """Personalized PageRank: teleport AND dangling mass go to the source
+    set uniformly. r' = α·t + (1-α)(Pᵀr + missing·t)."""
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = sorted(set(sources) & set(nodes))
+    assert src, "no source in graph"
+    tp = np.zeros(n)
+    for s in src:
+        tp[idx[s]] = 1.0 / len(src)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = tp.copy()
+    for _ in range(max_iter):
+        recv = np.zeros(n)
+        missing = 0.0
+        for v in nodes:
+            i = idx[v]
+            nbrs = out.get(v)
+            if not nbrs:
+                missing += r[i]
+            else:
+                share = r[i] / len(nbrs)
+                for d in nbrs:
+                    recv[idx[d]] += share
+        new = alpha * tp + (1 - alpha) * (recv + missing * tp)
+        if np.abs(new - r).sum() <= tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
+def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Iterative peel on the undirected simple graph → {id: core degree}."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(nb) for v, nb in adj.items() if len(nb) >= k}

@@ -104,3 +104,28 @@ def test_labelprop_random(spark):
     res = label_propagation(spark, edges_df(spark, edges), max_iter=6)
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     assert got == lpa_oracle(edges, max_iter=6)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_random_matches_peel_oracle(spark, k):
+    from oracles import kcore_oracle
+
+    from bitcoinpagerank_spark.operators.kcore import k_core
+
+    edges = _random_edges(9, n=50, p=0.08)
+    res = k_core(spark, edges_df(spark, edges), k=k)
+    assert res.converged
+    got = {r["id"]: r["degree"] for r in res.vertices.collect()}
+    assert got == kcore_oracle(edges, k)
+
+
+def test_kcore_triangle_plus_tail(spark):
+    from bitcoinpagerank_spark.operators.kcore import k_core
+
+    # triangle {1,2,3} with a tail 3-4-5: 2-core = the triangle only
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    res = k_core(spark, edges_df(spark, edges), k=2)
+    got = {r["id"]: r["degree"] for r in res.vertices.collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    empty = k_core(spark, edges_df(spark, edges), k=3)
+    assert empty.converged and empty.vertices.count() == 0

@@ -143,3 +143,29 @@ def test_gnutella_real_file_regression(spark):
     cc = connected_components(spark, edges_sdf)
     assert cc.converged
     assert cc.num_components() == len(set(components_oracle(want_edges).values()))
+
+
+def test_personalized_pagerank_vs_oracle(spark):
+    from oracles import ppr_oracle
+
+    from bitcoinpagerank_spark.operators.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(17)
+    n, p = 120, 0.03
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    edges = [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+    sources = {v for v in range(n) if v % 10 == 0}
+    res = personalized_pagerank(spark, edges_df(spark, edges), sorted(sources),
+                                tol=1e-9, max_iter=200)
+    assert res.converged
+    got = {r["id"]: r["score"] for r in res.ranks.collect()}
+    want = ppr_oracle(edges, sources)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"vertex {v}"
+    # mass conserved each iteration
+    for m in res.metrics:
+        assert m.total_mass == pytest.approx(1.0, abs=1e-9)
+    # non-source sink-free vertices far from S should rank below sources
+    assert sum(want.values()) == pytest.approx(1.0, abs=1e-6)
