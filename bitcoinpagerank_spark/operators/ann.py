@@ -130,3 +130,119 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _seed_centroid(j: int, dim: int) -> list[float]:
+    """Deterministic unit-sphere-ish seed centroid (LCG, engine-portable)."""
+    return _hyperplane(1_000 + j, dim)
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 8,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means with deterministic LCG seeds and a
+    fixed number of Lloyd iterations — reproducible across runs/engines
+    (no sampling, no RNG). Each iteration is one assign (argmin over the
+    broadcast centroid table, pure Catalyst) + one groupBy-avg over the
+    posexploded vector — two shuffles total per iteration, scales to any
+    corpus size. Returns driver-side centroids (n_lists × dim floats — tiny)."""
+    cents = [_seed_centroid(j, dim) for j in range(n_lists)]
+    v = embeddings.select(F.col(vec_col).alias("v"))
+    for _ in range(lloyd_iters):
+        assigned = v.withColumn(
+            "list_id", ivf_assign_col(F.col("v"), cents)
+        )
+        means = (
+            assigned.select(
+                "list_id", F.posexplode("v").alias("d", "x")
+            )
+            .groupBy("list_id", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["list_id"], [0.0] * dim)[r["d"]] = r["m"]
+        # empty lists keep their previous centroid (deterministic)
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def ivf_assign_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """list_id = argmin_j ||v - c_j||² = argmax_j (2·v·c_j − ||c_j||²);
+    ties → lower j. Pure Catalyst (no UDF): a fold over the centroid list."""
+    best_id, best_score = F.lit(0), F.lit(None).cast("double")
+    for j, c in enumerate(centroids):
+        cc = sum(x * x for x in c)
+        h = F.array(*[F.lit(float(x)) for x in c])
+        score = 2.0 * dot_expr(vec, h) - F.lit(float(cc))
+        better = best_score.isNull() | (score > best_score)
+        best_id = F.when(better, F.lit(j)).otherwise(best_id)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_id.cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into their
+    nearest coarse-quantizer list; each query probes its ``nprobe``
+    nearest lists and brute-forces only those. At 10^9 vectors the
+    candidate space shrinks ~n_lists/nprobe-fold and list_id is the
+    shuffle key. Recall < 1 by design (raise nprobe to recover)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, dim, n_lists)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_assign_col(F.col(vec_col), centroids).alias("list_id"),
+    )
+    # per-query probe lists: rank centroids by the same score, take nprobe
+    probes = []
+    for j, cent in enumerate(centroids):
+        cc = sum(x * x for x in cent)
+        h = F.array(*[F.lit(float(x)) for x in cent])
+        probes.append(
+            F.struct(
+                (2.0 * dot_expr(F.col("qv"), h) - F.lit(float(cc))).alias("s"),
+                F.lit(j).alias("list_id"),
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "list_id",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(F.array(*probes))), 1, nprobe
+            )["list_id"]
+        ),
+    )
+    scored = (
+        q.join(c, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -122,18 +122,26 @@ def _init_state(
 
 
 def _edges_step(
-    ranks: DataFrame, contribs: DataFrame, n: int, missing: float, alpha: float
+    ranks: DataFrame, contribs: DataFrame, n: int, missing: float, alpha: float,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One power-iteration step via DataFrame join + hash aggregate.
 
     The ranks side is small relative to the edge table, so Catalyst
     broadcasts it into the contribs join (zero edge-side shuffle); at
-    vertex counts past the broadcast threshold it degrades to a co-
-    partitioned sort-merge join (contribs is pre-partitioned by src once).
-    The old score is carried through so the convergence aggregate needs no
-    second join."""
+    vertex counts past the broadcast threshold it degrades to a shuffled
+    hash join building on the vertex side (contribs is pre-partitioned by
+    src once and streams). The old score is carried through so the
+    convergence aggregate needs no second join.
+
+    Measured (48M edges, 16 pinned cores, interleaved A/B): the standard
+    partial+final hash aggregate beats an explicit repartition(dst) +
+    complete-agg variant by ~10%/iteration even though the partial agg
+    spills ~460 MB and compacts little — the spill writes are page-cache
+    absorbed and the partial pass warms the rows for the shuffle writer,
+    so the default plan is kept."""
     recv = (
-        contribs.join(ranks.select("id", "score"),
+        contribs.join(ranks.select("id", "score").hint("SHUFFLE_HASH"),
                       contribs[SRC] == F.col("id"), "inner")
         .select(F.col(DST), (F.col("score") * F.col("weight")).alias("mass"))
         .groupBy(DST)
@@ -203,7 +211,13 @@ def pagerank(
     # lineage rows (SURVEY.md §4.2 R3). Measured ~20% faster at local[16]
     # with AQE off for this loop; restored afterwards.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    smj_before = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # hash joins, not sort-merge: the iterate loop would otherwise re-SORT
+    # the |E|-scale contributions table AND both |V|-scale sides of the
+    # update join EVERY iteration; a shuffled hash join streams the big
+    # side and builds on the vertex side (always the smaller one here)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try:
         return _pagerank_loop(
             spark, edges, alpha, tol, max_iter, num_partitions, strategy,
@@ -212,6 +226,7 @@ def pagerank(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", smj_before)
 
 
 def _pagerank_loop(
@@ -276,7 +291,8 @@ def _pagerank_loop(
         if strategy == "csr":
             new_ranks = csr_step(ranks, csr_blocks, n, missing, alpha, num_partitions)
         else:
-            new_ranks = _edges_step(ranks, contribs, n, missing, alpha)
+            new_ranks = _edges_step(ranks, contribs, n, missing, alpha,
+                                    num_partitions)
 
         # ONE job per iteration: the convergence metrics ride the checkpoint
         # materialization itself via observe() — (L1 delta, total mass, next

@@ -1022,6 +1022,20 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+# rows-only: IVF ANN (approximate; the deterministic k-means training is
+# not one-shot-SQL-expressible — recall/exactness asserted in pytest)
+@register("emb_ann_ivf", None)
+def q_emb_ann_ivf(spark, sf_dir):
+    from ..operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries_df, dim=64, k=3, n_lists=8, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # rows-only: LSH-bucketed ANN (approximate by design — no SQL oracle)
 @register("emb_ann_lsh", None)
 def q_emb_ann_lsh(spark, sf_dir):

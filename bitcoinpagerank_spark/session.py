@@ -80,6 +80,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # Shuffle/spill files on RAM-backed storage when available: iterative
+    # graph work writes ~|E|-scale shuffle data per iteration, and on this
+    # box /tmp is a spinning-rust-class virtual disk while /dev/shm is
+    # tmpfs. On a real cluster the analog is node-local NVMe (or ramdisk)
+    # shuffle dirs — standard practice, set per-node.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/bpr-spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    # e.g. -XX:ParallelGCThreads=N when the JVM is taskset-pinned to fewer
+    # cpus than the machine reports (the JVM sizes GC threads from the
+    # MACHINE's cpu count, oversubscribing the pinned set during GC)
+    extra_java = os.environ.get("SPARK_GRAFT_EXTRA_JAVA")
+    if extra_java:
+        builder = builder.config("spark.driver.extraJavaOptions", extra_java)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

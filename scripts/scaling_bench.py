@@ -178,7 +178,18 @@ def _one(cores: int, vertices: int, with_etl: bool) -> dict:
         cmd.append("--no-etl")
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=str(REPO),
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_CPUS": str(cores),
+            # the JVM sizes GC worker counts from the MACHINE's cpu count;
+            # under taskset pinning that oversubscribes the pinned set
+            # during every pause (measured ~15% throughput loss at 16
+            # pinned cores) — pin GC threads to the core budget
+            "SPARK_GRAFT_EXTRA_JAVA": (
+                f"-XX:ParallelGCThreads={cores} "
+                f"-XX:ConcGCThreads={max(1, cores // 4)}"
+            ),
+        },
     )
     if out.returncode != 0:
         print(out.stderr[-2000:], file=sys.stderr)

@@ -107,3 +107,44 @@ def test_byte_features_pure():
     f = byte_features(b"aaaabbbb", bins=8)
     assert len(f) == 8 and abs(sum(f) - 1.0) < 1e-12
     assert byte_features(b"", bins=8) == [0.0] * 8
+
+
+def test_ivf_topk_scores_exact_and_recall(spark):
+    """IVF contract: every returned (query, neighbor) carries the exact
+    cosine (identical to brute force), ranks are consistent, and probing
+    all lists gives full recall (== brute force exactly)."""
+    from bitcoinpagerank_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    cents = ivf_train_centroids(emb, dim=64, n_lists=4)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    # deterministic: same call → same centroids
+    assert cents == ivf_train_centroids(emb, dim=64, n_lists=4)
+
+    approx = ivf_topk(emb, queries, dim=64, k=3, n_lists=4, nprobe=2,
+                      centroids=cents).collect()
+    assert len(approx) > 0
+    all_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert all_scores[key] == pytest.approx(r["cosine"], abs=1e-12)
+
+    # nprobe = n_lists → candidate set is the whole corpus → exact
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ivf_topk(emb, queries, dim=64, k=3, n_lists=4, nprobe=4,
+                          centroids=cents).collect()
+    }
+    assert set(full) == set(brute)
