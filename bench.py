@@ -12,12 +12,16 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_PAGES          override page count for the PageRank graph
   BENCH_ONLY           comma-separated subset of query names to run
+  BENCH_REPS           reps per query, median recorded (default 2 —
+                       the sandbox host is time-shared and single runs
+                       vary 2-3x between minutes)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -71,12 +75,17 @@ def main() -> None:
         pagerank(spark, we, tol=0.0, max_iter=2)
         we.unpersist()
 
-    def timed(name, fn):
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+
+    def timed(name, fn, n_reps=None):
         if only and name not in only:
             return None
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls, out = [], None
+        for _ in range(n_reps or reps):
+            t0 = time.monotonic()
+            out = fn()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(walls), 3)
         return out
 
     # ---- flagship: pages → edges → PageRank to 1e-6 on the synthetic graph
@@ -85,6 +94,9 @@ def main() -> None:
         lg = build_link_graph(pages, num_partitions=max(cpus, 8))
         edges = lg.edges.persist()
         extra["n_edges"] = edges.count()
+        if getattr(run_etl, "_prev", None) is not None:
+            run_etl._prev.unpersist()  # reps re-run the ETL; keep one cached
+        run_etl._prev = edges
         return edges
 
     edges = timed("q_edge_etl", run_etl)
