@@ -111,6 +111,23 @@ def shingle_ids(token_ids: Column) -> Column:
     )
 
 
+def winnow_fingerprints(token_ids: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al., MOSS): over the positional 3-token
+    shingle hash sequence, take the minimum of every length-``w`` window —
+    the resulting fingerprint SET is guaranteed to share elements between
+    documents with sufficiently long common substrings. Returns the
+    distinct window minima (array<long>); documents with fewer than
+    ``w`` shingles yield an empty set. Pure Catalyst array ops."""
+    sh = shingle_ids(token_ids)
+    n = F.size(sh)
+    idxs = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idxs, lambda i: F.array_min(F.slice(sh, i, w)))
+    )
+
+
 def token_dictionary(
     docs: DataFrame, text_col: str = "text", num_partitions: int | None = None
 ) -> DataFrame:

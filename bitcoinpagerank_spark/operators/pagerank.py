@@ -95,7 +95,8 @@ class PageRankResult:
 
 
 def _init_state(
-    spark: SparkSession, edges: DataFrame, num_partitions: int
+    spark: SparkSession, edges: DataFrame, num_partitions: int,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """Build (ranks0, contribs, n_vertices, n_edges).
 
@@ -115,7 +116,7 @@ def _init_state(
         raise ValueError(
             "PageRank on an empty graph: edge table has no non-null edges"
         )
-    contribs = contributions_table(edges, num_partitions).persist()
+    contribs = contributions_table(edges, num_partitions, weight_col).persist()
     n_edges = contribs.count()
     ranks0 = base.withColumn("score", F.lit(1.0 / n))
     return ranks0, contribs, n, n_edges
@@ -180,8 +181,14 @@ def pagerank(
     start_ranks: DataFrame | None = None,
     prior_metrics: list["IterationMetrics"] | None = None,
     csr_max_block_edges: int | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank on a (src_id, dst_id) edge DataFrame.
+
+    ``weight_col`` names an explicit per-edge weight column: vertex u then
+    sends score(u)·w(u,v)/Σw(u,·) along each edge (weighted PageRank;
+    unweighted = all weights equal). Only the ``edges`` strategy supports
+    weights.
 
     ``edges`` need not be pre-deduplicated — callers that want reference
     parity (BuildTextGraph dedup) should pass ``dedup_edges(e)``; parallel
@@ -204,6 +211,8 @@ def pagerank(
         num_partitions = auto_partitions(spark, edges.count())
 
     if strategy == "csr":
+        if weight_col is not None:
+            raise ValueError("weight_col requires strategy='edges'")
         from .csr import csr_step, build_csr_blocks  # local import: optional path
 
     # Pin the iterate loop's partitioning: AQE coalescing would re-plan
@@ -222,7 +231,7 @@ def pagerank(
         return _pagerank_loop(
             spark, edges, alpha, tol, max_iter, num_partitions, strategy,
             checkpoint_dir, checkpoint_interval, start_iteration, start_ranks,
-            prior_metrics, csr_max_block_edges,
+            prior_metrics, csr_max_block_edges, weight_col,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -243,11 +252,14 @@ def _pagerank_loop(
     start_ranks: DataFrame | None,
     prior_metrics: list[IterationMetrics] | None = None,
     csr_max_block_edges: int | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     if strategy == "csr":
         from .csr import csr_step, build_csr_blocks, DEFAULT_MAX_BLOCK_EDGES
 
-    ranks0, contribs, n, n_edges = _init_state(spark, edges, num_partitions)
+    ranks0, contribs, n, n_edges = _init_state(
+        spark, edges, num_partitions, weight_col
+    )
     if start_ranks is not None:
         ranks = (
             start_ranks.join(ranks0.select("id", "dangling"), "id", "inner")

@@ -378,6 +378,97 @@ def q_top_out_degree(spark, sf_dir):
     )
 
 
+def _weighted_pr_sql(iters: int = 2) -> str:
+    """Unrolled weighted PageRank: per-edge weight (src+dst)%7+1,
+    contribution = score · (w / Σw(src))."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "we AS (SELECT src_id, dst_id, (src_id + dst_id) % 7 + 1 AS w FROM edges),",
+        "sw AS (SELECT src_id, sum(w) AS tw FROM we GROUP BY 1),",
+        "r0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i+1}"
+        parts.append(
+            f"""m{i} AS (
+  SELECT coalesce(sum(score), 0.0) AS miss FROM {prev}
+  WHERE id NOT IN (SELECT src_id FROM sw)
+),
+recv{i} AS (
+  SELECT e.dst_id AS id, sum(r.score * (e.w / sw.tw)) AS recv
+  FROM we e JOIN {prev} r ON e.src_id = r.id
+  JOIN sw ON e.src_id = sw.src_id
+  GROUP BY 1
+),
+{cur} AS (
+  SELECT v.id,
+         0.15/cnt + 0.85*(coalesce(recv, 0.0) + miss/cnt) AS score
+  FROM verts v CROSS JOIN n CROSS JOIN m{i}
+  LEFT JOIN recv{i} rc ON v.id = rc.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id, round(score, 9) AS score FROM r{iters}"
+
+
+@register("g_pagerank_weighted_iter2", _weighted_pr_sql(2))
+def q_pagerank_weighted_iter2(spark, sf_dir):
+    """Weighted PageRank: explicit per-edge weight column, contributions
+    proportional to w/Σw(src)."""
+    e = doc_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src_id") + F.col("dst_id")) % 7 + 1
+    )
+    res = pagerank(spark, e, tol=0.0, max_iter=2, weight_col="w")
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+def _hits_iter_sql(iters: int = 2) -> str:
+    """Unrolled L1-normalized HITS."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "h0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""araw{i} AS (
+  SELECT e.dst_id AS id, sum(h.score) AS raw
+  FROM edges e JOIN h{i-1} h ON e.src_id = h.id GROUP BY 1
+),
+sa{i} AS (SELECT sum(raw) AS s FROM araw{i}),
+a{i} AS (
+  SELECT v.id, coalesce(raw, 0.0) / s AS score
+  FROM verts v CROSS JOIN sa{i} LEFT JOIN araw{i} ar ON v.id = ar.id
+),
+hraw{i} AS (
+  SELECT e.src_id AS id, sum(a.score) AS raw
+  FROM edges e JOIN a{i} a ON e.dst_id = a.id GROUP BY 1
+),
+sh{i} AS (SELECT sum(raw) AS s FROM hraw{i}),
+h{i} AS (
+  SELECT v.id, coalesce(raw, 0.0) / s AS score
+  FROM verts v CROSS JOIN sh{i} LEFT JOIN hraw{i} hr ON v.id = hr.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + (
+        f"\nSELECT h.id, round(h.score, 9) AS hub,"
+        f" round(a.score, 9) AS authority"
+        f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+@register("g_hits_iter2", _hits_iter_sql(2))
+def q_hits_iter2(spark, sf_dir):
+    """HITS hubs/authorities, 2 L1-normalized iterations."""
+    from ..operators.hits import hits
+
+    res = hits(spark, doc_edges(spark, sf_dir), max_iter=2)
+    return res.scores.select(
+        "id", F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
 @register(
     "g_triangles_per_vertex",
     f"""WITH {EDGES_CTE},
@@ -937,6 +1028,37 @@ def q_doc_fingerprint(spark, sf_dir):
         )
         .groupBy("id")
         .agg(F.min("s").alias("fingerprint"))
+    )
+
+
+@register(
+    "doc_winnow",
+    f"""WITH {DOC_TOKS_CTE},
+    shp AS (
+      SELECT d1.doc_id, d1.pos, {_SHINGLE_SQL} AS s
+      FROM doctid d1
+      JOIN doctid d2 ON d1.doc_id = d2.doc_id AND d2.pos = d1.pos + 1
+      JOIN doctid d3 ON d1.doc_id = d3.doc_id AND d3.pos = d1.pos + 2
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(s) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+      FROM shp
+    )
+    SELECT DISTINCT doc_id AS id, m AS fp FROM wins WHERE c = 4""",
+)
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprint SET (window-of-4 minima over positional
+    shingles) — the full MOSS scheme; doc_fingerprint keeps the single
+    global min as the cheaper 1-value variant."""
+    from ..functions.text import winnow_fingerprints
+
+    tids = _doc_tids_dict(spark, sf_dir)
+    return tids.select(
+        "id", F.explode(winnow_fingerprints(F.col("tids"), w=4)).alias("fp")
     )
 
 

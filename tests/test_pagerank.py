@@ -169,3 +169,82 @@ def test_personalized_pagerank_vs_oracle(spark):
         assert m.total_mass == pytest.approx(1.0, abs=1e-9)
     # non-source sink-free vertices far from S should rank below sources
     assert sum(want.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    from bitcoinpagerank_spark.operators.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    n, p = 100, 0.04
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    edges = [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+    w = {(s, d): (s + d) % 7 + 1 for s, d in edges}
+
+    e = spark.createDataFrame(
+        [(s, d, float(w[(s, d)])) for s, d in edges],
+        "src_id long, dst_id long, w double",
+    )
+    res = pagerank(spark, e, tol=1e-10, max_iter=200, weight_col="w")
+    assert res.converged
+    got = {r["id"]: r["score"] for r in res.ranks.collect()}
+
+    # dense numpy weighted power iteration, same semantics
+    nodes = sorted({v for ed in edges for v in ed})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(N, 1.0 / N)
+    for _ in range(500):
+        recv = np.zeros(N)
+        missing = 0.0
+        for v in nodes:
+            nbrs = out.get(v)
+            if not nbrs:
+                missing += r[idx[v]]
+                continue
+            tw = sum(w[(v, d)] for d in nbrs)
+            for d in nbrs:
+                recv[idx[d]] += r[idx[v]] * w[(v, d)] / tw
+        new = 0.15 / N + 0.85 * (recv + missing / N)
+        if np.abs(new - r).sum() <= 1e-12:
+            r = new
+            break
+        r = new
+    for v in nodes:
+        assert got[v] == pytest.approx(float(r[idx[v]]), abs=1e-6), v
+    # weights matter: uniform run differs
+    uni = pagerank(spark, e.select("src_id", "dst_id"), tol=1e-10, max_iter=200)
+    gu = {x["id"]: x["score"] for x in uni.ranks.collect()}
+    assert any(abs(gu[v] - got[v]) > 1e-9 for v in nodes)
+
+
+def test_hits_vs_numpy(spark):
+    from bitcoinpagerank_spark.operators.hits import hits
+
+    rng = np.random.default_rng(31)
+    n, p = 60, 0.06
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    edges = [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+    res = hits(spark, edges_df(spark, edges), max_iter=5)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+
+    nodes = sorted({v for ed in edges for v in ed})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    A = np.zeros((N, N))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(N, 1.0 / N)
+    for _ in range(5):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for v in nodes:
+        assert got[v][0] == pytest.approx(float(h[idx[v]]), abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(float(a[idx[v]]), abs=1e-9), ("auth", v)

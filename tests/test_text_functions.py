@@ -103,3 +103,31 @@ def test_shingles_empty_for_short_docs(spark, tids):
 
     df = spark.createDataFrame([(1, tids)], "id int, tids array<long>")
     assert df.select(shingle_ids(F.col("tids")).alias("s")).first()["s"] == []
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing: distinct window-of-w minima over positional shingles;
+    short docs yield empty sets; identical docs identical sets."""
+    from bitcoinpagerank_spark.functions.text import (
+        shingle_ids, token_dictionary, winnow_fingerprints,
+    )
+    from bitcoinpagerank_spark.operators.dedup import doc_token_ids
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    tids = doc_token_ids(docs, dictionary=token_dictionary(docs))
+    rows = tids.select(
+        "id",
+        shingle_ids(F.col("tids")).alias("sh"),
+        winnow_fingerprints(F.col("tids"), w=4).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    # python reference for doc 1: 6 shingles, windows of 4 -> 3 minima
+    sh = by_id[1]["sh"]
+    want = sorted({min(sh[i:i + 4]) for i in range(len(sh) - 3)})
+    assert sorted(by_id[1]["fp"]) == want
+    assert sorted(by_id[2]["fp"]) == want  # identical doc
+    assert by_id[3]["fp"] == []            # < 3 tokens -> no shingles
