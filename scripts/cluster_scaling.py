@@ -30,11 +30,15 @@ SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
 EXEC_CORES = 4
 PR_VERTICES = int(os.environ.get("CSCALE_PR_VERTICES", "4000000"))
+# weak mode: vertices per WORKER (per-executor work constant across levels)
+WEAK_VPW = int(os.environ.get("CSCALE_WEAK_VPW", "3000000"))
 ITERS = int(os.environ.get("CSCALE_ITERS", "5"))
 REPS = int(os.environ.get("CSCALE_REPS", "3"))
 WORKER_LEVELS = tuple(
     int(c) for c in os.environ.get("CSCALE_WORKERS", "1,4").split(",")
 )
+RUN_WEAK = os.environ.get("CSCALE_WEAK", "1") != "0"
+RUN_STRONG = os.environ.get("CSCALE_STRONG", "1") != "0"
 DRIVER_CPUS = "28-31"
 
 
@@ -83,7 +87,7 @@ def stop_workers(procs: list[subprocess.Popen]) -> None:
             p.kill()
 
 
-def driver_measure(num_workers: int) -> dict:
+def driver_measure(num_workers: int, vertices: int) -> dict:
     """Runs in its own process, pinned to DRIVER_CPUS."""
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     from bitcoinpagerank_spark.operators.pagerank import pagerank
@@ -99,9 +103,13 @@ def driver_measure(num_workers: int) -> dict:
             "spark.executor.cores": str(EXEC_CORES),
             "spark.executor.memory": "6g",
             "spark.cores.max": str(total_cores),
+            # each executor JVM is taskset-pinned to EXEC_CORES cpus but
+            # sizes GC workers from the machine's 32 — pin them too
+            "spark.executor.extraJavaOptions":
+                f"-XX:ParallelGCThreads={EXEC_CORES} -XX:ConcGCThreads=1",
         },
     )
-    edges = synth_edges(spark, PR_VERTICES, total_cores).persist()
+    edges = synth_edges(spark, vertices, total_cores).persist()
     n_edges = edges.count()
     pagerank(spark, edges, tol=0.0, max_iter=4, num_partitions=total_cores)
     t0 = time.monotonic()
@@ -119,46 +127,73 @@ def driver_measure(num_workers: int) -> dict:
     }
 
 
+def _run_driver(w: int, vertices: int, rep: int, tag: str, results) -> None:
+    procs = start_workers(w)
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", DRIVER_CPUS, sys.executable,
+             __file__, "--driver", str(w), "--vertices", str(vertices)],
+            capture_output=True, text=True, cwd=str(REPO),
+            env=_spark_env(), timeout=900,
+        )
+        if out.returncode != 0:
+            print(out.stderr[-1500:], file=sys.stderr)
+            raise SystemExit(f"driver failed (workers={w})")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        results[w].append(r)
+        print(f"rep{rep} {tag} workers={w}: {r['wall_sec']}s "
+              f"({r['edges_per_sec']:,.0f} e/s, {r['n_edges']:,} edges)",
+              flush=True)
+    finally:
+        stop_workers(procs)
+
+
 def orchestrate() -> None:
-    results: dict[int, list[dict]] = {w: [] for w in WORKER_LEVELS}
+    strong: dict[int, list[dict]] = {w: [] for w in WORKER_LEVELS}
+    weak: dict[int, list[dict]] = {w: [] for w in WORKER_LEVELS}
     start_master()
     try:
         for rep in range(REPS):
             for w in WORKER_LEVELS:
-                procs = start_workers(w)
-                try:
-                    out = subprocess.run(
-                        ["taskset", "-c", DRIVER_CPUS, sys.executable,
-                         __file__, "--driver", str(w)],
-                        capture_output=True, text=True, cwd=str(REPO),
-                        env=_spark_env(), timeout=900,
-                    )
-                    if out.returncode != 0:
-                        print(out.stderr[-1500:], file=sys.stderr)
-                        raise SystemExit(f"driver failed (workers={w})")
-                    r = json.loads(out.stdout.strip().splitlines()[-1])
-                    results[w].append(r)
-                    print(f"rep{rep} workers={w}: {r['wall_sec']}s "
-                          f"({r['edges_per_sec']:,.0f} e/s)", flush=True)
-                finally:
-                    stop_workers(procs)
+                if RUN_STRONG:
+                    _run_driver(w, PR_VERTICES, rep, "strong", strong)
+                if RUN_WEAK:
+                    _run_driver(w, WEAK_VPW * w, rep, "weak  ", weak)
     finally:
         stop_master()
 
     lo, hi = WORKER_LEVELS
-    med = {w: statistics.median(r["edges_per_sec"] for r in results[w])
-           for w in WORKER_LEVELS}
-    summary = {
+    summary: dict = {
         "mode": "standalone cluster, separate worker JVMs, loopback shuffle",
-        "pr_vertices": PR_VERTICES,
-        "n_edges": results[lo][0]["n_edges"],
         "fixed_iterations": ITERS,
         "executor_cores": EXEC_CORES,
         "reps": REPS,
-        "throughput_edges_per_sec": {str(w): med[w] for w in WORKER_LEVELS},
-        "speedup": round(med[hi] / med[lo], 3),
-        "scaling_efficiency": round(med[hi] / med[lo] / (hi / lo), 3),
-        "raw": {str(w): results[w] for w in WORKER_LEVELS},
+    }
+    med = lambda rs, w, k: statistics.median(r[k] for r in rs[w])  # noqa: E731
+    if RUN_STRONG:
+        m = {w: med(strong, w, "edges_per_sec") for w in WORKER_LEVELS}
+        summary["strong"] = {
+            "pr_vertices": PR_VERTICES,
+            "n_edges": strong[lo][0]["n_edges"],
+            "throughput_edges_per_sec": {str(w): m[w] for w in WORKER_LEVELS},
+            "speedup": round(m[hi] / m[lo], 3),
+            "scaling_efficiency": round(m[hi] / m[lo] / (hi / lo), 3),
+        }
+    if RUN_WEAK:
+        t_lo = med(weak, lo, "wall_sec")
+        t_hi = med(weak, hi, "wall_sec")
+        summary["weak"] = {
+            "vertices_per_worker": WEAK_VPW,
+            "n_edges": {str(w): weak[w][0]["n_edges"] for w in WORKER_LEVELS},
+            "wall_sec": {str(lo): t_lo, str(hi): t_hi},
+            "throughput_edges_per_sec": {
+                str(w): med(weak, w, "edges_per_sec") for w in WORKER_LEVELS
+            },
+            "scaling_efficiency": round(t_lo / t_hi, 3),
+        }
+    summary["raw"] = {
+        "strong": {str(w): strong[w] for w in WORKER_LEVELS},
+        "weak": {str(w): weak[w] for w in WORKER_LEVELS},
     }
     (REPO / "BENCH_CLUSTER.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps({k: v for k, v in summary.items() if k != "raw"}))
@@ -167,8 +202,9 @@ def orchestrate() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--driver", type=int, default=0)
+    ap.add_argument("--vertices", type=int, default=PR_VERTICES)
     args = ap.parse_args()
     if args.driver:
-        print(json.dumps(driver_measure(args.driver)))
+        print(json.dumps(driver_measure(args.driver, args.vertices)))
     else:
         orchestrate()
