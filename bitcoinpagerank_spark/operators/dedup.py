@@ -272,3 +272,59 @@ def lsh_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash_a, simhash_b) ≤
+    ``max_hamming`` — the rotated-prefix-block scheme the simhash family
+    uses at scale: the ``bits``-bit hash is split into bits/block_bits
+    contiguous blocks; by pigeonhole, two hashes within ``max_hamming``
+    (< number of blocks) share at least one EXACT block, so the candidate
+    join is an equi-join on (block_idx, block_value) — the block value is
+    the shuffle key — and only candidates pay the bit_count(xor) check.
+    Input: (id, simhash) from ``simhash``."""
+    n_blocks = bits // block_bits
+    assert n_blocks > max_hamming, (
+        "need more blocks than max_hamming for the pigeonhole guarantee"
+    )
+    mask = (1 << block_bits) - 1
+    blocks = [
+        F.struct(
+            F.lit(b).alias("block_idx"),
+            F.shiftright(F.col("simhash"), b * block_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_val"),
+        )
+        for b in range(n_blocks)
+    ]
+    banded = signatures.select(
+        "id", "simhash", F.explode(F.array(*blocks)).alias("bk")
+    ).select(
+        "id", "simhash",
+        F.col("bk.block_idx").alias("block_idx"),
+        F.col("bk.block_val").alias("block_val"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

@@ -506,6 +506,15 @@ def q_kcore3(spark, sf_dir):
     return res.vertices.select("id", F.col("degree").cast("long").alias("degree"))
 
 
+# rows-only (h-index fixpoint; exact-coreness peel oracle in pytest)
+@register("g_coreness", None)
+def q_coreness(spark, sf_dir):
+    from ..operators.kcore import core_numbers
+
+    res = core_numbers(spark, doc_edges(spark, sf_dir))
+    return res.vertices.select("id", F.col("degree").cast("long").alias("core"))
+
+
 # rows-only (non-SQL-expressible fixpoints): full convergence runs
 @register("g_pagerank_converged", None)
 def q_pagerank_converged(spark, sf_dir):
@@ -1029,6 +1038,37 @@ def q_doc_fingerprint(spark, sf_dir):
         .groupBy("id")
         .agg(F.min("s").alias("fingerprint"))
     )
+
+
+def _simhash_pairs_sql(
+    bits: int = 32, max_hamming: int = 3, block_bits: int = 8
+) -> str:
+    n_blocks = bits // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS block_idx, "
+        f"(simhash >> {b * block_bits}) & {mask} AS block_val FROM sims"
+        for b in range(n_blocks)
+    )
+    return f"""WITH sims AS ({_simhash_sql(bits)}),
+    blocks AS ({blocks})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+     AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+@register("doc_simhash_neardup", _simhash_pairs_sql())
+def q_doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via rotated-prefix blocks (pigeonhole:
+    hamming ≤ 3 over 4 blocks ⇒ ≥1 exact block match), exact
+    bit_count(xor) verification on candidates only."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=32)
+    return simhash_neardup_pairs(sims, bits=32, max_hamming=3, block_bits=8)
 
 
 @register(

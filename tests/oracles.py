@@ -180,3 +180,23 @@ def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
                 del adj[v]
                 changed = True
     return {v: len(nb) for v, nb in adj.items() if len(nb) >= k}
+
+
+def coreness_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact coreness by sequential peeling (min-degree removal)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core: dict[int, int] = {}
+    k = 0
+    while adj:
+        v = min(adj, key=lambda x: len(adj[x]))
+        k = max(k, len(adj[v]))
+        core[v] = k
+        for u in adj[v]:
+            adj[u].discard(v)
+        del adj[v]
+    return core

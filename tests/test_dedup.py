@@ -130,3 +130,33 @@ def test_lsh_neardup_subset_of_brute_force(spark):
         ).collect()
     }
     assert set(lsh) <= lsh4 <= set(brute)
+
+
+def test_simhash_neardup_pairs_complete_vs_bruteforce(spark, tids):
+    """Pigeonhole completeness: block-bucketed candidates must find EVERY
+    pair within max_hamming (4 blocks > 3 = max_hamming), with exact
+    hamming distances."""
+    from bitcoinpagerank_spark.operators.dedup import simhash_neardup_pairs
+
+    sims = simhash(tids, bits=32)
+    rows = {r["id"]: r["simhash"] for r in sims.collect()}
+    for mh, bb in ((0, 8), (3, 8), (6, 4)):  # need bits/bb blocks > mh
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(
+                sims, bits=32, max_hamming=mh, block_bits=bb
+            ).collect()
+        }
+        want = {}
+        ids = sorted(rows)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(rows[a] ^ rows[b]).count("1")
+                if h <= mh:
+                    want[(a, b)] = h
+        assert got == want, f"max_hamming={mh} block_bits={bb}"
+    # identical docs 1 and 2 -> hamming 0 pair always present at mh=0
+    assert (1, 2) in {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(sims, max_hamming=0).collect()
+    }

@@ -129,3 +129,25 @@ def test_kcore_triangle_plus_tail(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     empty = k_core(spark, edges_df(spark, edges), k=3)
     assert empty.converged and empty.vertices.count() == 0
+
+
+def test_core_numbers_match_peel_oracle(spark):
+    from oracles import coreness_oracle
+
+    from bitcoinpagerank_spark.operators.kcore import core_numbers
+
+    for seed, n, p in [(9, 50, 0.08), (13, 60, 0.05)]:
+        edges = _random_edges(seed, n=n, p=p)
+        res = core_numbers(spark, edges_df(spark, edges))
+        assert res.converged
+        got = {r["id"]: r["degree"] for r in res.vertices.collect()}
+        assert got == coreness_oracle(edges), f"seed={seed}"
+
+
+def test_core_numbers_triangle_plus_tail(spark):
+    from bitcoinpagerank_spark.operators.kcore import core_numbers
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    res = core_numbers(spark, edges_df(spark, edges))
+    got = {r["id"]: r["degree"] for r in res.vertices.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
