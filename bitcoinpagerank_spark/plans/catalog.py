@@ -72,9 +72,11 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
 def doc_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     """Deterministic (src_id, dst_id) edge table derived from documents:
     linkers are doc_id % 5 != 0; targets (id*7+1, id*13+3) mod n, plus
-    (id*19+7) mod n for doc_id % 3 == 0; no self-loops. ``dedup=True``
-    (default) gives the simple graph (BuildTextGraph semantics);
-    ``dedup=False`` keeps parallel edges (BuildTextMultigraph.java:76-92)."""
+    (id*19+7) mod n for doc_id % 3 == 0, plus the wedge-closing family
+    (id*7+1) -> (id*13+3) mod n so the graph contains triangles (keeps the
+    triangle oracles non-vacuous); no self-loops. ``dedup=True`` (default)
+    gives the simple graph (BuildTextGraph semantics); ``dedup=False``
+    keeps parallel edges (BuildTextMultigraph.java:76-92)."""
     docs = _t(spark, sf_dir, "documents")
     n = _doc_count(spark, sf_dir)
     base = docs.select("doc_id").where(F.col("doc_id") % 5 != 0)
@@ -97,6 +99,12 @@ def doc_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame
                 ((F.col("doc_id") * 19 + 7) % n).alias("dst_id"),
             )
         )
+        .unionAll(
+            base.select(
+                ((F.col("doc_id") * 7 + 1) % n).alias("src_id"),
+                ((F.col("doc_id") * 13 + 3) % n).alias("dst_id"),
+            )
+        )
     )
     if dedup:
         return E.dedup_edges(e)
@@ -116,6 +124,8 @@ e0 AS (
   SELECT doc_id, (doc_id*13+3) % cnt FROM documents, n WHERE doc_id % 5 <> 0
   UNION ALL
   SELECT doc_id, (doc_id*19+7) % cnt FROM documents, n WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT (doc_id*7+1) % cnt, (doc_id*13+3) % cnt FROM documents, n WHERE doc_id % 5 <> 0
 ),
 edges AS (SELECT DISTINCT src_id, dst_id FROM e0 WHERE src_id <> dst_id),
 verts AS (
