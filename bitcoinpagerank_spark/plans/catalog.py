@@ -506,9 +506,37 @@ def q_triangles_per_vertex(spark, sf_dir):
     )
 
 
-# rows-only (iterative peeling — not one-shot-SQL-expressible; validated
-# against a python peel oracle in tests/test_graph_algos.py)
-@register("g_kcore3", None)
+# shared undirected symmetric-closure CTE for the k-core oracles
+_UND_CTE = """
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_id AS a, dst_id AS b FROM edges
+    UNION ALL SELECT dst_id, src_id FROM edges
+  )
+)
+"""
+
+# iterative peeling as a bounded recursive CTE: each round keeps vertices
+# whose degree within the surviving set is >= k and recomputes degrees;
+# past the fixpoint the rows repeat unchanged, so the it=40 slice is the
+# 3-core (peel depth on the fixture graph is < 10; exact peel oracle also
+# in tests/test_graph_algos.py)
+@register(
+    "g_kcore3",
+    f"""WITH RECURSIVE {EDGES_CTE}, {_UND_CTE},
+    peel AS (
+      SELECT 0 AS it, a AS id, count(*) AS deg FROM und GROUP BY a
+      UNION ALL
+      SELECT it + 1, a, deg FROM (
+        SELECT cur.it, e.a, count(*) AS deg
+        FROM und e
+        JOIN peel cur ON e.b = cur.id AND cur.deg >= 3
+        WHERE e.a IN (SELECT id FROM peel WHERE deg >= 3)
+        GROUP BY cur.it, e.a
+      ) WHERE it < 40
+    )
+    SELECT id, deg AS degree FROM peel WHERE it = 40 AND deg >= 3""",
+)
 def q_kcore3(spark, sf_dir):
     from ..operators.kcore import k_core
 
@@ -516,8 +544,28 @@ def q_kcore3(spark, sf_dir):
     return res.vertices.select("id", F.col("degree").cast("long").alias("degree"))
 
 
-# rows-only (h-index fixpoint; exact-coreness peel oracle in pytest)
-@register("g_coreness", None)
+# distributed h-index iteration mirrored as a bounded recursive CTE: the
+# fixpoint is the exact coreness (Montresor et al.), so the converged
+# it=40 slice matches Spark's core_numbers exactly (peel oracle also in
+# tests/test_graph_algos.py)
+@register(
+    "g_coreness",
+    f"""WITH RECURSIVE {EDGES_CTE}, {_UND_CTE},
+    cr AS (
+      SELECT 0 AS it, a AS id, count(*) AS core FROM und GROUP BY a
+      UNION ALL
+      SELECT cur2.it + 1, cur2.id, least(cur2.core, hh.h) AS core
+      FROM (
+        SELECT vid, max(least(rn, c)) AS h FROM (
+          SELECT e.b AS vid, cr1.core AS c,
+                 row_number() OVER (PARTITION BY e.b ORDER BY cr1.core DESC, e.a ASC) AS rn
+          FROM und e JOIN cr cr1 ON e.a = cr1.id
+        ) GROUP BY vid
+      ) hh JOIN cr cur2 ON hh.vid = cur2.id
+      WHERE cur2.it < 40
+    )
+    SELECT id, core FROM cr WHERE it = 40""",
+)
 def q_coreness(spark, sf_dir):
     from ..operators.kcore import core_numbers
 
