@@ -137,36 +137,69 @@ def lsh_candidate_pairs(
 def simhash(doc_tids: DataFrame, bits: int = 32) -> DataFrame:
     """(id, simhash bigint) — sign-of-sum over token-id hash bits.
 
-    g(t) = (a·t + b) mod 2^32 (plain arithmetic); bit_j(g) via integer
-    div/mod; simhash = Σ 2^j·[Σ_tokens (2·bit_j − 1) > 0]."""
+    Bits 0..31 sample g1(t) = (a1·t + b1) mod 2^32; bits 32..63 sample an
+    independent LCG g2(t) = (a2·t + b2) mod 2^32 (bit j reads g2 bit
+    j−32), so no expression ever exceeds 2^62 — safe under ANSI overflow
+    checking and portable verbatim to the DuckDB oracle. simhash =
+    Σ 2^j·[Σ_tokens (2·bit_j − 1) > 0]; at bits=64 the bit-63 term is the
+    signed value −2^63, giving a full 64-bit hash in one bigint (the
+    32-bit default saturates around 10^10 docs — birthday collisions in
+    hamming space — so 64-bit is the web-scale variant)."""
+    if bits > 64:
+        raise ValueError("bits must be <= 64")
     a1, b1 = 1_664_525, 1_013_904_223
-    g = (F.col("tid").cast("long") * F.lit(a1) + F.lit(b1)) % F.lit(2**32)
+    a2, b2 = 1_103_515_245, 12_345
+    tid = F.col("tid").cast("long")
+    g1 = (tid * F.lit(a1) + F.lit(b1)) % F.lit(2**32)
+    g2 = (tid * F.lit(a2) + F.lit(b2)) % F.lit(2**32)
     exploded = doc_tids.select("id", F.explode("tids").alias("tid")).select(
-        "id", g.alias("g")
+        "id", g1.alias("g"), g2.alias("g2")
     )
+
+    def _bit(j: int):
+        if j < 32:
+            return F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("g2"), j - 32).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
+        F.sum(F.when(_bit(j) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{j}")
         for j in range(bits)
     ]
     sums = exploded.groupBy("id").agg(*aggs)
     sh = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        weight = F.lit(-(2**63)) if j == 63 else F.lit(2**j)
+        term = F.when(F.col(f"s{j}") > 0, weight).otherwise(F.lit(0))
         sh = term if sh is None else sh + term
     return sums.select("id", sh.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
-    doc_tids: DataFrame, threshold: float = 0.5
+    doc_tids: DataFrame, threshold: float = 0.5, df_cap: int | None = 10_000
 ) -> DataFrame:
     """(id_a, id_b, jaccard) over 3-token shingle sets, id_a < id_b,
-    jaccard ≥ threshold. Pairs restricted to those sharing ≥1 shingle."""
+    jaccard ≥ threshold. Pairs restricted to those sharing ≥1 shingle.
+
+    Scale contract: the shared-shingle self-join is quadratic in
+    per-shingle document frequency — one stop-phrase shingle shared by
+    10^6 docs would make 10^12 join rows. ``df_cap`` drops shingles whose
+    document frequency exceeds the cap BEFORE the join (they carry no
+    dedup signal); jaccard is then computed over the surviving
+    informative-shingle sets on both the intersection and the size side.
+    The heavy-shingle set is tiny by construction (only skewed keys), so
+    it is broadcast into an anti-join. ``df_cap=None`` disables capping
+    (exact verifier on pre-filtered candidate sets, e.g. post-LSH)."""
     sh = doc_tids.select(
         "id", F.explode(F.array_distinct(shingle_ids(F.col("tids")))).alias("s")
     )
+    if df_cap is not None:
+        heavy = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(heavy), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1040,10 +1040,12 @@ def q_doc_lsh_pairs(spark, sf_dir):
 @register(
     "doc_ngram_jaccard",
     f"""WITH {DOC_TOKS_CTE}, {SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    heavy AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 10000),
+    shc AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM heavy)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -1059,16 +1061,24 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 
 
 def _simhash_sql(bits: int = 32) -> str:
+    # mirrors operators.dedup.simhash: bits 0..31 sample g1, bits 32..63
+    # sample the independent g2; bit 63 carries the signed weight -2^63
+    def bit(j: int) -> str:
+        return f"(g >> {j}) & 1" if j < 32 else f"(g2 >> {j - 32}) & 1"
+
     sums = ", ".join(
-        f"sum(CASE WHEN (g >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(bits)
     )
     total = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+        f"(CASE WHEN s{j} > 0 THEN "
+        f"{-(1 << 63) if j == 63 else (1 << j)} ELSE 0 END)"
+        for j in range(bits)
     )
     return (
         f"WITH {DOC_TOKS_CTE}, "
-        f"g AS (SELECT doc_id, (tid*1664525 + 1013904223) % 4294967296 AS g "
+        f"g AS (SELECT doc_id, (tid*1664525 + 1013904223) % 4294967296 AS g, "
+        f"(tid*1103515245 + 12345) % 4294967296 AS g2 "
         f"FROM doctid), "
         f"sums AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id) "
         f"SELECT doc_id AS id, cast({total} AS bigint) AS simhash FROM sums"
@@ -1127,6 +1137,27 @@ def q_doc_simhash_neardup(spark, sf_dir):
 
     sims = simhash(_doc_tids_dict(spark, sf_dir), bits=32)
     return simhash_neardup_pairs(sims, bits=32, max_hamming=3, block_bits=8)
+
+
+@register("doc_simhash64", _simhash_sql(64))
+def q_doc_simhash64(spark, sf_dir):
+    """64-bit SimHash — the web-scale variant (32-bit hamming space
+    saturates with birthday collisions beyond ~10^10 documents)."""
+    return simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+
+
+@register(
+    "doc_simhash64_neardup",
+    _simhash_pairs_sql(bits=64, max_hamming=3, block_bits=16),
+)
+def q_doc_simhash64_neardup(spark, sf_dir):
+    """64-bit near-dup pairs: 4 x 16-bit blocks (> max_hamming=3 keeps
+    the pigeonhole completeness guarantee); signed-bigint xor/bit_count
+    agree between Spark and DuckDB."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+    return simhash_neardup_pairs(sims, bits=64, max_hamming=3, block_bits=16)
 
 
 @register(

@@ -160,3 +160,71 @@ def test_simhash_neardup_pairs_complete_vs_bruteforce(spark, tids):
         (r["id_a"], r["id_b"])
         for r in simhash_neardup_pairs(sims, max_hamming=0).collect()
     }
+
+
+def test_simhash64_neardup_complete_vs_bruteforce(spark, tids):
+    """64-bit pigeonhole completeness: 4 x 16-bit blocks must find EVERY
+    pair within max_hamming=3, with exact two's-complement hamming."""
+    from bitcoinpagerank_spark.operators.dedup import simhash_neardup_pairs
+
+    sims = simhash(tids, bits=64)
+    rows = {r["id"]: r["simhash"] for r in sims.collect()}
+    M = (1 << 64) - 1
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            sims, bits=64, max_hamming=3, block_bits=16
+        ).collect()
+    }
+    want = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((rows[a] ^ rows[b]) & M).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (1, 2) in got  # exact dups -> hamming 0
+
+
+def test_simhash64_matches_python(spark, tids):
+    """Bit-exact vs a Python reimplementation of the two-LCG scheme,
+    including the signed bit-63 weight."""
+    rows = {r["id"]: r["simhash"] for r in simhash(tids, bits=64).collect()}
+    tid_map = {r["id"]: r["tids"] for r in tids.collect()}
+    for doc_id, ts in tid_map.items():
+        want = 0
+        for j in range(64):
+            s = 0
+            for t in ts:
+                if j < 32:
+                    g = (t * 1_664_525 + 1_013_904_223) % 2**32
+                    bit = (g >> j) & 1
+                else:
+                    g = (t * 1_103_515_245 + 12_345) % 2**32
+                    bit = (g >> (j - 32)) & 1
+                s += 1 if bit else -1
+            if s > 0:
+                want += -(1 << 63) if j == 63 else (1 << j)
+        assert rows[doc_id] == want, doc_id
+
+
+def test_ngram_jaccard_df_cap(spark, tids):
+    """Default cap leaves fixture output unchanged; a low cap drops the
+    heavy stop-shingle from both intersection and size sides."""
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(tids, threshold=0.0, df_cap=None).collect()
+    }
+    default = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(tids, threshold=0.0).collect()
+    }
+    assert default == uncapped  # fixture dfs are far below the cap
+    # cap=1 drops every shingle shared by >1 doc: docs 1/2 (identical)
+    # lose all shingles, doc 3's uniques can't intersect anything
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(tids, threshold=0.0, df_cap=1).collect()
+    }
+    assert (1, 2) not in capped and (1, 3) not in capped
