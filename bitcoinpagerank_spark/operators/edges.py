@@ -136,6 +136,17 @@ def contributions_table(
             (F.lit(1.0) / F.col("out_degree").cast("double")).alias("weight"),
         )
     else:
+        # a null or non-positive weight would make w/Σw null (F.sum then
+        # silently drops that mass and total rank drifts below 1) — fail
+        # loudly instead; with all weights > 0 every per-source sum is > 0,
+        # so no zero-sum source can slip past the dangling-mass accounting
+        w = F.col(weight_col).cast("double")
+        bad = edges.where(w.isNull() | (w <= 0) | F.isnan(w)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"weight_col {weight_col!r} contains null/NaN/non-positive "
+                "values; PageRank mass conservation requires weights > 0"
+            )
         tw = edges.groupBy(F.col(SRC).alias("id")).agg(
             F.sum(F.col(weight_col).cast("double")).alias("tw")
         )

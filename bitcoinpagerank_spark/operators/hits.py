@@ -42,6 +42,8 @@ def hits(
     max_iter: int = 10,
     num_partitions: int | None = None,
 ) -> HitsResult:
+    if max_iter < 1:
+        raise ValueError("HITS needs max_iter >= 1")
     if num_partitions is None:
         num_partitions = auto_partitions(spark, edges.count())
 
@@ -100,4 +102,5 @@ def hits(
         .select("id", "hub", F.coalesce("authority", F.lit(0.0)).alias("authority"))
     )
     e.unpersist()
+    verts.unpersist()
     return HitsResult(scores, max_iter, metrics)

@@ -58,14 +58,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # doc count per sf_dir (deterministic table property): computed once, not
 # per doc_edges invocation — at real scale N is a catalog statistic, not a
-# per-query count job (VERDICT r01 "what's wrong" #6)
-_DOC_COUNT_CACHE: dict[str, int] = {}
+# per-query count job (VERDICT r01 "what's wrong" #6). Keyed on the
+# parquet path's (mtime, size) so a regenerated fixture in the same
+# process (e.g. tests reusing a tmp dir) invalidates the cached modulus.
+_DOC_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _doc_count(spark: SparkSession, sf_dir: str) -> int:
-    n = _DOC_COUNT_CACHE.get(sf_dir)
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-POSIX path (hdfs://, s3a://) — fall back to path-only keying
+        key = (path,)
+    n = _DOC_COUNT_CACHE.get(key)
     if n is None:
-        n = _DOC_COUNT_CACHE[sf_dir] = _t(spark, sf_dir, "documents").count()
+        n = _DOC_COUNT_CACHE[key] = _t(spark, sf_dir, "documents").count()
     return n
 
 

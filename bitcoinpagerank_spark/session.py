@@ -87,7 +87,15 @@ def get_spark(
     # shuffle dirs — standard practice, set per-node.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/bpr-spark-local"
+        # tmpfs is typically capped at 50% of RAM: only take it when there
+        # is real headroom, otherwise big shuffles would hit ENOSPC where
+        # plain disk would have worked
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                local_dir = "/dev/shm/bpr-spark-local"
+        except OSError:
+            pass
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     # e.g. -XX:ParallelGCThreads=N when the JVM is taskset-pinned to fewer

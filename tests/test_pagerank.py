@@ -248,3 +248,17 @@ def test_hits_vs_numpy(spark):
     for v in nodes:
         assert got[v][0] == pytest.approx(float(h[idx[v]]), abs=1e-9), ("hub", v)
         assert got[v][1] == pytest.approx(float(a[idx[v]]), abs=1e-9), ("auth", v)
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    """Null / non-positive / NaN weights would silently leak rank mass
+    (w/sum(w) goes null and F.sum drops it) — must raise instead."""
+    from bitcoinpagerank_spark.operators.pagerank import pagerank
+
+    for bad in (None, 0.0, -1.0, float("nan")):
+        e = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, bad), (3, 1, 2.0)],
+            "src_id long, dst_id long, w double",
+        )
+        with pytest.raises(ValueError, match="weight_col"):
+            pagerank(spark, e, max_iter=2, weight_col="w")
