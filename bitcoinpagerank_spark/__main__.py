@@ -36,9 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--strategy", default="edges", choices=["edges", "csr"])
     ap.add_argument("--checkpoint-dir", default=None,
-                    help="snapshot dir; must be a driver-visible POSIX path "
-                         "(manifest uses local file I/O) — on a cluster use "
-                         "shared storage mounted on the driver")
+                    help="snapshot dir; any Hadoop FS scheme works "
+                         "(file://, hdfs://, s3a://) — snapshots are Iceberg "
+                         "commits when the runtime jar is on the classpath, "
+                         "else parquet + JSON manifest")
     ap.add_argument("--checkpoint-interval", type=int, default=10)
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest snapshot in --checkpoint-dir")

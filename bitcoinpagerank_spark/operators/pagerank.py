@@ -36,9 +36,7 @@ Two physical strategies:
 
 from __future__ import annotations
 
-import json
 import math
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -61,7 +59,10 @@ DEFAULT_TOL = 1e-6
 @dataclass
 class IterationMetrics:
     """Per-iteration lineage row (upgrade of Hadoop counters +
-    MyUtils.generateReport wall-clock files, MyUtils.java:12-22)."""
+    MyUtils.generateReport wall-clock files, MyUtils.java:12-22).
+    ``shuffle_read_bytes``/``shuffle_write_bytes`` sum the iteration's
+    stages from the app status store (north_star lineage wording);
+    0 when the status surface is unavailable."""
 
     iteration: int
     delta_l1: float
@@ -70,6 +71,8 @@ class IterationMetrics:
     edges_processed: int
     num_partitions: int
     wall_sec: float
+    shuffle_read_bytes: int = 0
+    shuffle_write_bytes: int = 0
 
 
 @dataclass
@@ -89,9 +92,41 @@ class PageRankResult:
             schema=(
                 "iteration int, delta_l1 double, total_mass double, "
                 "missing_mass double, edges_processed long, "
-                "num_partitions int, wall_sec double"
+                "num_partitions int, wall_sec double, "
+                "shuffle_read_bytes long, shuffle_write_bytes long"
             ),
         )
+
+
+# unique job-group token per pagerank run, so getJobIdsForGroup never
+# picks up a previous run's jobs in the same session
+_RUN_COUNTER = [0]
+
+
+def _group_shuffle_bytes(spark: SparkSession, group: str) -> tuple[int, int]:
+    """Sum shuffle read/write bytes over all stages of the jobs tagged
+    with ``group`` — read from the driver's app status store (the same
+    data the UI/REST API serves; available with the UI server disabled).
+    Degrades to (0, 0) if the status surface is missing."""
+    try:
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        store = sc._jsc.sc().statusStore()
+        read = write = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in list(jinfo.stageIds):
+                try:
+                    sd = store.lastStageAttempt(int(sid))
+                except Exception:
+                    continue  # evicted or still pending
+                read += int(sd.shuffleReadBytes())
+                write += int(sd.shuffleWriteBytes())
+        return read, write
+    except Exception:
+        return 0, 0
 
 
 def _init_state(
@@ -200,9 +235,11 @@ def pagerank(
     per-iteration lineage metrics). ``resume_pagerank`` continues from the
     latest snapshot — analog of the reference's ``iter%04d`` HDFS dirs
     (RunPageRankBasic.java:359-361) without materializing every iteration.
-    ``checkpoint_dir`` must be a driver-visible POSIX path (the manifest is
-    written with local file I/O; ranks go through the Hadoop FS layer) —
-    on a cluster, point it at shared storage mounted on the driver.
+    ``checkpoint_dir`` may be any Hadoop-supported scheme (``file://``,
+    ``hdfs://``, ``s3a://``): snapshot I/O goes through
+    ``sources.tablestore.TableStore`` — Iceberg snapshot commits when the
+    runtime is on the classpath, else parquet + a Hadoop-FS-written JSON
+    manifest.
     ``prior_metrics`` seeds the lineage history so snapshots written during
     a resumed run carry the full pre-resume trajectory (a second
     interrupt+resume keeps every iteration's metrics).
@@ -298,6 +335,8 @@ def _pagerank_loop(
     metrics: list[IterationMetrics] = list(prior_metrics or [])
     converged = False
     it = start_iteration
+    _RUN_COUNTER[0] += 1
+    run_token = _RUN_COUNTER[0]
     while it < max_iter:
         t0 = time.monotonic()
         if strategy == "csr":
@@ -313,15 +352,21 @@ def _pagerank_loop(
         from pyspark.sql import Observation
 
         obs = Observation(f"pr_iter_{it}")
-        new_ranks = new_ranks.observe(
-            obs,
-            F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
-            F.sum("score").alias("total"),
-            F.sum(F.when(F.col("dangling"), F.col("score")).otherwise(0.0)).alias(
-                "dm"
-            ),
-        ).localCheckpoint(eager=True)
-        agg = obs.get
+        group = f"pr_{run_token}_it{it}"
+        spark.sparkContext.setJobGroup(group, "pagerank iteration")
+        try:
+            new_ranks = new_ranks.observe(
+                obs,
+                F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
+                F.sum("score").alias("total"),
+                F.sum(
+                    F.when(F.col("dangling"), F.col("score")).otherwise(0.0)
+                ).alias("dm"),
+            ).localCheckpoint(eager=True)
+            agg = obs.get
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        srb, swb = _group_shuffle_bytes(spark, group)
         delta, total = float(agg["delta"]), float(agg["total"])
         it += 1
         metrics.append(
@@ -333,6 +378,8 @@ def _pagerank_loop(
                 edges_processed=n_edges,
                 num_partitions=num_partitions,
                 wall_sec=time.monotonic() - t0,
+                shuffle_read_bytes=srb,
+                shuffle_write_bytes=swb,
             )
         )
         ranks = new_ranks.select("id", "dangling", "score")
@@ -352,9 +399,12 @@ def _pagerank_loop(
 
 
 # ---------------------------------------------------------------- snapshots
-
-def _snapshot_path(checkpoint_dir: str, iteration: int) -> str:
-    return os.path.join(checkpoint_dir, f"iter{iteration:04d}")
+#
+# All snapshot I/O goes through sources.tablestore.TableStore: ranks
+# tables land as Iceberg snapshot commits when the runtime is present,
+# else partitioned parquet; the JSON lineage manifest is written through
+# the Hadoop FS layer either way, so --checkpoint-dir accepts any
+# Hadoop-supported scheme (file://, hdfs://, s3a://).
 
 
 def _write_snapshot(
@@ -365,27 +415,28 @@ def _write_snapshot(
     final: bool = False,
     part_lineage: list | None = None,
 ) -> None:
-    path = _snapshot_path(checkpoint_dir, iteration)
-    ranks.select("id", "score").write.mode("overwrite").parquet(path)
-    manifest = {
+    from ..sources.tablestore import TableStore
+
+    store = TableStore(ranks.sparkSession, checkpoint_dir)
+    loc = store.write_table(ranks.select("id", "score"), f"iter{iteration:04d}")
+    store.write_manifest({
         "iteration": iteration,
         "final": final,
-        "ranks_path": path,
+        "ranks_path": loc,
+        "backend": store.backend,
         "metrics": [vars(m) for m in metrics],
         "partition_lineage": [list(t) for t in (part_lineage or [])],
-    }
-    tmp = os.path.join(checkpoint_dir, "_manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(checkpoint_dir, "manifest.json"))
+    })
 
 
-def load_snapshot(checkpoint_dir: str) -> tuple[int, dict] | None:
-    mf = os.path.join(checkpoint_dir, "manifest.json")
-    if not os.path.exists(mf):
+def load_snapshot(
+    spark: SparkSession, checkpoint_dir: str
+) -> tuple[int, dict] | None:
+    from ..sources.tablestore import TableStore
+
+    manifest = TableStore(spark, checkpoint_dir).read_manifest()
+    if manifest is None:
         return None
-    with open(mf) as f:
-        manifest = json.load(f)
     return manifest["iteration"], manifest
 
 
@@ -395,11 +446,14 @@ def resume_pagerank(
     """Continue a checkpointed run from its latest snapshot (bit-compatible:
     the resumed trajectory is the same fixpoint iteration, so final scores
     agree with an uninterrupted run to within the convergence tolerance)."""
-    snap = load_snapshot(checkpoint_dir)
+    from ..sources.tablestore import TableStore
+
+    snap = load_snapshot(spark, checkpoint_dir)
     if snap is None:
         return pagerank(spark, edges, checkpoint_dir=checkpoint_dir, **kwargs)
     iteration, manifest = snap
-    ranks = spark.read.parquet(manifest["ranks_path"])
+    store = TableStore(spark, checkpoint_dir, backend=manifest.get("backend"))
+    ranks = store.read_table(manifest["ranks_path"])
     prior = [IterationMetrics(**m) for m in manifest["metrics"]]
     return pagerank(
         spark,

@@ -30,7 +30,7 @@ def test_snapshot_and_resume_match_straight_run(spark, tmp_path):
         spark, e, tol=1e-9, max_iter=4, checkpoint_dir=ckpt, checkpoint_interval=2
     )
     assert not partial.converged
-    it, manifest = load_snapshot(ckpt)
+    it, manifest = load_snapshot(spark, ckpt)
     assert it == 4 and manifest["final"]
     assert len(manifest["metrics"]) == 4
 
@@ -85,7 +85,7 @@ def test_double_interrupt_resume_keeps_full_lineage(spark, tmp_path):
     # first resume: run 3 more iterations, snapshots every 2
     resume_pagerank(spark, e, ckpt, tol=1e-12, max_iter=6,
                     checkpoint_interval=2)
-    _, manifest = load_snapshot(ckpt)
+    _, manifest = load_snapshot(spark, ckpt)
     # the manifest written during the RESUMED run has iterations 1..6
     assert [m["iteration"] for m in manifest["metrics"]] == [1, 2, 3, 4, 5, 6]
     # second resume sees the whole history too
@@ -94,3 +94,45 @@ def test_double_interrupt_resume_keeps_full_lineage(spark, tmp_path):
     assert [m.iteration for m in final.metrics] == list(
         range(1, final.iterations + 1)
     )
+
+
+def test_checkpoint_through_hadoop_fs_uri(spark, tmp_path):
+    """--checkpoint-dir with a non-POSIX path scheme: the file:// URI is
+    unreadable by plain open()/os.path, so passing this test proves the
+    manifest I/O goes through the Hadoop FileSystem layer."""
+    edges = _graph(seed=31, n=60)
+    e = edges_df(spark, edges)
+    ckpt = f"file://{tmp_path}/ck_uri"
+
+    straight = pagerank(spark, e, tol=1e-9, max_iter=100)
+    pagerank(spark, e, tol=1e-9, max_iter=3,
+             checkpoint_dir=ckpt, checkpoint_interval=2)
+    it, manifest = load_snapshot(spark, ckpt)
+    assert it == 3 and manifest["final"]
+    assert manifest["backend"] == "parquet"  # no Iceberg jar in this env
+
+    resumed = resume_pagerank(spark, e, ckpt, tol=1e-9, max_iter=100)
+    assert resumed.converged
+    a = {r["id"]: r["score"] for r in straight.ranks.collect()}
+    b = {r["id"]: r["score"] for r in resumed.ranks.collect()}
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-12)
+
+
+def test_iteration_metrics_carry_shuffle_bytes(spark, tmp_path):
+    """North-star lineage: per-iteration snapshot metrics must record the
+    iteration's shuffle read/write bytes (non-zero — every step shuffles
+    the contributions join + by-dst aggregate)."""
+    e = edges_df(spark, _graph(seed=41, n=80))
+    ckpt = str(tmp_path / "ck_sb")
+    res = pagerank(spark, e, tol=1e-9, max_iter=4,
+                   checkpoint_dir=ckpt, checkpoint_interval=2)
+    for m in res.metrics:
+        assert m.shuffle_write_bytes > 0, vars(m)
+        assert m.shuffle_read_bytes > 0, vars(m)
+    _, manifest = load_snapshot(spark, ckpt)
+    for m in manifest["metrics"]:
+        assert m["shuffle_write_bytes"] > 0
+    # the metrics DataFrame exposes the new columns too
+    cols = set(res.metrics_df(spark).columns)
+    assert {"shuffle_read_bytes", "shuffle_write_bytes"} <= cols
