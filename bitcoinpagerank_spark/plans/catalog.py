@@ -1324,6 +1324,57 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+# ===================================================== multimodal queries
+# The media table is synthesized deterministically from documents
+# (payload = utf-8 bytes of repeat(text, 4)), so the Arrow mapInPandas
+# feature/frame paths get REAL DuckDB oracles: md5/byte-length of the
+# payload, and the frame-sampler's chunk arithmetic via a lateral
+# generate_series. The features array itself (byte histogram) is covered
+# bit-exactly in tests/test_ann_multimodal.py.
+
+@register(
+    "mm_media_features",
+    """SELECT doc_id AS media_id, 'video' AS kind,
+           octet_length(encode(repeat(text, 4))) AS n_bytes,
+           md5(repeat(text, 4)) AS checksum
+    FROM documents""",
+)
+def q_mm_media_features(spark, sf_dir):
+    from ..functions.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """WITH L AS (
+      SELECT doc_id, octet_length(encode(repeat(text, 4))) AS len FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, len, i.i AS i
+      FROM L, (SELECT unnest(generate_series(0, cast(ceil(len/256.0) AS int) - 1))) AS i(i)
+    ),
+    kept AS (
+      SELECT doc_id, i, least(256, len - i*256) AS fb FROM idx WHERE i % 4 = 0
+    )
+    SELECT doc_id AS media_id, count(*) AS n_frames,
+           sum(fb) AS frame_bytes
+    FROM kept GROUP BY doc_id""",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    from ..functions.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, frame_size=256, every_nth=4)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("frame_bytes"),
+    )
+
+
 @register(
     "g_adjacency",
     f"""WITH {EDGES_CTE}
