@@ -54,6 +54,18 @@ from .edges import (
 
 ALPHA = 0.15  # jump probability, RunPageRankBasic.java:246
 DEFAULT_TOL = 1e-6
+# Default iterate-join shape: pinned shuffled-hash, NOT broadcast.
+# Interleaved A/B (local[16] pinned, 6 fixed iterations, medians of 3,
+# see BENCH.md): broadcasting the per-iteration scores into the edge-side
+# join is 18% slower at 50k vertices (2.37 s vs 1.96 s) and 25-30% slower
+# at 2M vertices (13.4 s vs 10.1 s) — the scores CHANGE every iteration,
+# so broadcast re-pays driver collect + re-broadcast serialization each
+# round, while the shuffled exchange between co-located executors is
+# plain memory traffic and contribs' src-partitioning is reused either
+# way. pagerank(broadcast_ranks=True) remains available for topologies
+# where an exchange is genuinely expensive (e.g. many small executors,
+# tiny |V|, cross-rack shuffle).
+BROADCAST_RANKS_DEFAULT = False
 
 
 @dataclass
@@ -160,15 +172,23 @@ def _init_state(
 def _edges_step(
     ranks: DataFrame, contribs: DataFrame, n: int, missing: float, alpha: float,
     num_partitions: int | None = None,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """One power-iteration step via DataFrame join + hash aggregate.
 
-    The ranks side is small relative to the edge table, so Catalyst
-    broadcasts it into the contribs join (zero edge-side shuffle); at
-    vertex counts past the broadcast threshold it degrades to a shuffled
-    hash join building on the vertex side (contribs is pre-partitioned by
-    src once and streams). The old score is carried through so the
-    convergence aggregate needs no second join.
+    Two physical shapes for the scores⋈contributions join, chosen by the
+    caller on vertex count (SURVEY §2.3 J6's "broadcast/shuffle hash
+    join"):
+    - ``broadcast_ranks=True`` (|V| under the broadcast threshold): the
+      iteration's scores are broadcast into the edge-side join — no
+      exchange on either join side; the only shuffle left is the
+      by-destination aggregate.
+    - shuffled hash join pinned via SHUFFLE_HASH otherwise (the loop sets
+      preferSortMergeJoin=false): contribs' src-partitioning is reused and
+      the |V|-side builds the hash table; sort-merge would re-sort the
+      |E|-scale table every iteration.
+    The old score is carried through so the convergence aggregate needs
+    no second join.
 
     Measured (48M edges, 16 pinned cores, interleaved A/B): the standard
     partial+final hash aggregate beats an explicit repartition(dst) +
@@ -176,9 +196,10 @@ def _edges_step(
     spills ~460 MB and compacts little — the spill writes are page-cache
     absorbed and the partial pass warms the rows for the shuffle writer,
     so the default plan is kept."""
+    scores = ranks.select("id", "score")
+    scores = F.broadcast(scores) if broadcast_ranks else scores.hint("SHUFFLE_HASH")
     recv = (
-        contribs.join(ranks.select("id", "score").hint("SHUFFLE_HASH"),
-                      contribs[SRC] == F.col("id"), "inner")
+        contribs.join(scores, contribs[SRC] == F.col("id"), "inner")
         .select(F.col(DST), (F.col("score") * F.col("weight")).alias("mass"))
         .groupBy(DST)
         .agg(F.sum("mass").alias("recv"))
@@ -186,7 +207,10 @@ def _edges_step(
     new_score = F.lit(alpha / n) + F.lit(1.0 - alpha) * (
         F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(missing / n)
     )
-    return ranks.join(recv, ranks["id"] == recv[DST], "left").select(
+    # same flag covers the update join: broadcasting the (≤|V|-row)
+    # aggregated recv side leaves the cached ranks partitioning untouched
+    recv_side = F.broadcast(recv) if broadcast_ranks else recv
+    return ranks.join(recv_side, ranks["id"] == recv[DST], "left").select(
         "id",
         "dangling",
         new_score.alias("score"),
@@ -217,6 +241,7 @@ def pagerank(
     prior_metrics: list["IterationMetrics"] | None = None,
     csr_max_block_edges: int | None = None,
     weight_col: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> PageRankResult:
     """Run PageRank on a (src_id, dst_id) edge DataFrame.
 
@@ -268,7 +293,7 @@ def pagerank(
         return _pagerank_loop(
             spark, edges, alpha, tol, max_iter, num_partitions, strategy,
             checkpoint_dir, checkpoint_interval, start_iteration, start_ranks,
-            prior_metrics, csr_max_block_edges, weight_col,
+            prior_metrics, csr_max_block_edges, weight_col, broadcast_ranks,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -290,6 +315,7 @@ def _pagerank_loop(
     prior_metrics: list[IterationMetrics] | None = None,
     csr_max_block_edges: int | None = None,
     weight_col: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> PageRankResult:
     if strategy == "csr":
         from .csr import csr_step, build_csr_blocks, DEFAULT_MAX_BLOCK_EDGES
@@ -297,6 +323,8 @@ def _pagerank_loop(
     ranks0, contribs, n, n_edges = _init_state(
         spark, edges, num_partitions, weight_col
     )
+    if broadcast_ranks is None:
+        broadcast_ranks = BROADCAST_RANKS_DEFAULT
     if start_ranks is not None:
         ranks = (
             start_ranks.join(ranks0.select("id", "dangling"), "id", "inner")
@@ -343,7 +371,8 @@ def _pagerank_loop(
             new_ranks = csr_step(ranks, csr_blocks, n, missing, alpha, num_partitions)
         else:
             new_ranks = _edges_step(ranks, contribs, n, missing, alpha,
-                                    num_partitions)
+                                    num_partitions,
+                                    broadcast_ranks=broadcast_ranks)
 
         # ONE job per iteration: the convergence metrics ride the checkpoint
         # materialization itself via observe() — (L1 delta, total mass, next

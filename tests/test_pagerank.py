@@ -262,3 +262,22 @@ def test_weighted_pagerank_rejects_bad_weights(spark):
         )
         with pytest.raises(ValueError, match="weight_col"):
             pagerank(spark, e, max_iter=2, weight_col="w")
+
+
+def test_broadcast_ranks_strategy_equivalent(spark):
+    """pagerank(broadcast_ranks=True) must be numerically identical to
+    the default shuffled-hash path (same fixpoint iteration, different
+    physical join shape)."""
+    edges = []
+    rng = np.random.default_rng(3)
+    mask = rng.random((80, 80)) < 0.05
+    np.fill_diagonal(mask, False)
+    edges = [(int(i), int(j)) for i, j in zip(*mask.nonzero())]
+    e = edges_df(spark, edges)
+    a = pagerank(spark, e, tol=1e-10, max_iter=100, broadcast_ranks=True)
+    b = pagerank(spark, e, tol=1e-10, max_iter=100, broadcast_ranks=False)
+    assert a.iterations == b.iterations
+    sa = {r["id"]: r["score"] for r in a.ranks.collect()}
+    sb = {r["id"]: r["score"] for r in b.ranks.collect()}
+    for v in sa:
+        assert sa[v] == sb[v], v
