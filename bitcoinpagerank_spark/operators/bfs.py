@@ -1,0 +1,101 @@
+"""Single-source (or multi-source) BFS hop distances.
+
+Not in the reference (breadth operator in the same family as WCC/LPA —
+"how many clicks from the seed set is every page"). Standard distributed
+frontier expansion: dist holds the settled vertices, the frontier is
+joined against the out-edges each round, newly reached vertices get
+dist+1. One job per round (the frontier count rides the eager
+localCheckpoint via observe(), the pagerank.py pattern); rounds = graph
+diameter from the seed set. All Catalyst: two hash joins + a distinct per
+round on frontier-sized inputs — the |E|-scale edge table is partitioned
+by src once and reused.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST
+
+
+@dataclass
+class BfsResult:
+    distances: DataFrame  # (id: long, dist: long) — reachable vertices only
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> BfsResult:
+    """Hop distance from the seed set along edge direction; unreachable
+    vertices are absent from the result (callers left-join against the
+    vertex table if they want nulls)."""
+    if num_partitions is None:
+        from .edges import auto_partitions
+
+        num_partitions = auto_partitions(spark, edges.count())
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame([(int(s),) for s in sources], "id long")
+
+    e = (
+        edges.select(SRC, DST)
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .repartition(num_partitions, SRC)
+        .localCheckpoint(eager=True)
+    )
+
+    dist = (
+        sources.select(F.col("id").cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+
+    from .lineage import group_shuffle_bytes, job_group, next_group
+
+    converged = False
+    it = 0
+    metrics: list[dict] = []
+    while it < max_iter:
+        t0 = time.monotonic()
+        # expand: out-neighbors of the frontier not yet settled
+        reached = (
+            e.join(
+                frontier.select(F.col("id").alias(SRC), "dist"), SRC, "inner"
+            )
+            .select(F.col(DST).alias("id"), (F.col("dist") + 1).alias("dist"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+        )
+        obs = Observation(f"bfs_round_{it}")
+        grp = next_group("bfs", it)
+        with job_group(spark, grp, "BFS frontier round"):
+            new_frontier = reached.observe(
+                obs, F.count(F.lit(1)).alias("cnt")
+            ).localCheckpoint(eager=True)
+            cnt = int(obs.get["cnt"] or 0)
+        srb, swb = group_shuffle_bytes(spark, grp)
+        it += 1
+        metrics.append(
+            {"iteration": it, "frontier": cnt,
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
+        )
+        if cnt == 0:
+            converged = True
+            break
+        dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    return BfsResult(dist, it, converged, metrics)

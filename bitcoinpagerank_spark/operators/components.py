@@ -111,21 +111,27 @@ def connected_components(
     it = 0
     prev_sig: tuple | None = None
     metrics: list[dict] = []
+    from .lineage import group_shuffle_bytes, job_group, next_group
+
     while it < max_iter:
         t0 = time.monotonic()
         stepped = _small_star(_large_star(pairs))
         obs = Observation(f"cc_round_{it}")
-        new_pairs = stepped.observe(
-            obs,
-            F.count(F.lit(1)).alias("cnt"),
-            F.bit_xor(F.xxhash64("a", "b")).alias("hxor"),
-        ).localCheckpoint(eager=True)
-        agg = obs.get
+        grp = next_group("cc", it)
+        with job_group(spark, grp, "connected-components round"):
+            new_pairs = stepped.observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.bit_xor(F.xxhash64("a", "b")).alias("hxor"),
+            ).localCheckpoint(eager=True)
+            agg = obs.get
+        srb, swb = group_shuffle_bytes(spark, grp)
         sig = (agg["cnt"], agg["hxor"])
         it += 1
         metrics.append(
             {"iteration": it, "pairs": int(agg["cnt"] or 0),
-             "wall_sec": time.monotonic() - t0}
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
         pairs = new_pairs
         if sig == prev_sig:

@@ -62,38 +62,45 @@ def hits(
     h = verts.withColumn("score", F.lit(1.0 / n)).localCheckpoint(eager=True)
     a = None
     metrics: list[dict] = []
+    from .lineage import group_shuffle_bytes, job_group, next_group
+
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
+        grp = next_group("hits", it)
         # authority half-step: raw in-sums, normalizer observed on the
         # checkpoint, division applied lazily on the checkpointed rows
         obs_a = Observation(f"hits_a_{it}")
-        a_raw = (
-            e.join(h.select(F.col("id").alias(SRC), "score"), SRC)
-            .groupBy(F.col(DST).alias("id"))
-            .agg(F.sum("score").alias("raw"))
-            .observe(obs_a, F.sum("raw").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        sa = float(obs_a.get["s"] or 0.0) or 1.0
+        with job_group(spark, grp, "HITS authority half-step"):
+            a_raw = (
+                e.join(h.select(F.col("id").alias(SRC), "score"), SRC)
+                .groupBy(F.col(DST).alias("id"))
+                .agg(F.sum("score").alias("raw"))
+                .observe(obs_a, F.sum("raw").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+            sa = float(obs_a.get["s"] or 0.0) or 1.0
         a = verts.join(a_raw, "id", "left").select(
             "id", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(sa)).alias("score")
         )
         # hub half-step
         obs_h = Observation(f"hits_h_{it}")
-        h_raw = (
-            e.join(a.select(F.col("id").alias(DST), "score"), DST)
-            .groupBy(F.col(SRC).alias("id"))
-            .agg(F.sum("score").alias("raw"))
-            .observe(obs_h, F.sum("raw").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        sh = float(obs_h.get["s"] or 0.0) or 1.0
+        with job_group(spark, grp, "HITS hub half-step"):
+            h_raw = (
+                e.join(a.select(F.col("id").alias(DST), "score"), DST)
+                .groupBy(F.col(SRC).alias("id"))
+                .agg(F.sum("score").alias("raw"))
+                .observe(obs_h, F.sum("raw").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+            sh = float(obs_h.get["s"] or 0.0) or 1.0
+        srb, swb = group_shuffle_bytes(spark, grp)
         h = verts.join(h_raw, "id", "left").select(
             "id", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(sh)).alias("score")
         )
         metrics.append(
             {"iteration": it, "authority_norm": sa, "hub_norm": sh,
-             "wall_sec": time.monotonic() - t0}
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
 
     scores = (

@@ -65,17 +65,23 @@ def k_core(
             .select("id")
         )
         obs = Observation(f"kcore_round_{it}")
-        new_pairs = (
-            pairs.join(keep.withColumnRenamed("id", SRC), SRC, "left_semi")
-            .join(keep.withColumnRenamed("id", DST), DST, "left_semi")
-            .observe(obs, F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint(eager=True)
-        )
-        cnt = int(obs.get["cnt"] or 0)
+        from .lineage import group_shuffle_bytes, job_group, next_group
+
+        grp = next_group("kcore", it)
+        with job_group(spark, grp, "k-core peel round"):
+            new_pairs = (
+                pairs.join(keep.withColumnRenamed("id", SRC), SRC, "left_semi")
+                .join(keep.withColumnRenamed("id", DST), DST, "left_semi")
+                .observe(obs, F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+            cnt = int(obs.get["cnt"] or 0)
+        srb, swb = group_shuffle_bytes(spark, grp)
         it += 1
         metrics.append(
             {"iteration": it, "pairs": cnt,
-             "wall_sec": time.monotonic() - t0}
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
         pairs = new_pairs
         if cnt == prev_cnt or cnt == 0:
@@ -150,27 +156,33 @@ def core_numbers(
             .agg(F.max("cand").alias("h"))
         )
         obs = Observation(f"coreness_round_{it}")
-        new_core = (
-            core.join(h, core["id"] == h["vid"], "inner")
-            .select(
-                "id",
-                F.least(F.col("core"), F.col("h")).alias("core"),
-                F.col("core").alias("old"),
+        from .lineage import group_shuffle_bytes, job_group, next_group
+
+        grp = next_group("coreness", it)
+        with job_group(spark, grp, "coreness h-index round"):
+            new_core = (
+                core.join(h, core["id"] == h["vid"], "inner")
+                .select(
+                    "id",
+                    F.least(F.col("core"), F.col("h")).alias("core"),
+                    F.col("core").alias("old"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("core") != F.col("old")).cast("long")
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("core") != F.col("old")).cast("long")
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = int(obs.get["changed"] or 0)
+            changed = int(obs.get["changed"] or 0)
+        srb, swb = group_shuffle_bytes(spark, grp)
         new_core = new_core.select("id", "core")
         it += 1
         metrics.append(
             {"iteration": it, "changed": changed,
-             "wall_sec": time.monotonic() - t0}
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
         core = new_core
         if changed == 0:

@@ -71,27 +71,33 @@ def label_propagation(
             .select("vid", F.col("label").alias("new_label"))
         )
         obs = Observation(f"lpa_iter_{it}")
-        new_labels = (
-            labels.join(best, labels["id"] == best["vid"], "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-                F.col("label").alias("old"),
+        from .lineage import group_shuffle_bytes, job_group, next_group
+
+        grp = next_group("lpa", it)
+        with job_group(spark, grp, "label-propagation round"):
+            new_labels = (
+                labels.join(best, labels["id"] == best["vid"], "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                    F.col("label").alias("old"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("old")).cast("long")
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("old")).cast("long")
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = int(obs.get["changed"] or 0)
+            changed = int(obs.get["changed"] or 0)
+        srb, swb = group_shuffle_bytes(spark, grp)
         new_labels = new_labels.select("id", "label")
         it += 1
         metrics.append(
             {"iteration": it, "changed": changed,
-             "wall_sec": time.monotonic() - t0}
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
         labels = new_labels
         if changed == 0:

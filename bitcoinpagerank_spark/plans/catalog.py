@@ -584,6 +584,29 @@ def q_coreness(spark, sf_dir):
     return res.vertices.select("id", F.col("degree").cast("long").alias("core"))
 
 
+# BFS hop distances from seed vertex 1: the Spark side is the iterative
+# frontier expansion (one job/round, diameter rounds); the oracle is a
+# bounded recursive CTE — UNION dedups (id, dist) pairs, the dist < 40
+# guard bounds cycle unrolling (graph eccentricity from the seed is 15),
+# and min(dist) per id is the true hop distance
+@register(
+    "g_bfs_hops",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    r AS (
+      SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+      UNION
+      SELECT e.dst_id, r.dist + 1
+      FROM r JOIN edges e ON e.src_id = r.id WHERE r.dist < 40
+    )
+    SELECT id, min(dist) AS dist FROM r GROUP BY id""",
+)
+def q_bfs_hops(spark, sf_dir):
+    from ..operators.bfs import bfs_distances
+
+    res = bfs_distances(spark, doc_edges(spark, sf_dir), sources=[1])
+    return res.distances.select("id", "dist")
+
+
 # rows-only (non-SQL-expressible fixpoints): full convergence runs
 @register("g_pagerank_converged", None)
 def q_pagerank_converged(spark, sf_dir):

@@ -151,3 +151,61 @@ def test_core_numbers_triangle_plus_tail(spark):
     res = core_numbers(spark, edges_df(spark, edges))
     got = {r["id"]: r["degree"] for r in res.vertices.collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_iterative_loops_record_shuffle_bytes(spark):
+    """Per-iteration lineage parity across the iterate loops: WCC, LPA,
+    k-core, coreness, and HITS metrics all carry the iteration's shuffle
+    read/write bytes (every round shuffles at least its aggregate)."""
+    from bitcoinpagerank_spark.operators.components import connected_components
+    from bitcoinpagerank_spark.operators.labelprop import label_propagation
+    from bitcoinpagerank_spark.operators.kcore import core_numbers, k_core
+    from bitcoinpagerank_spark.operators.hits import hits
+
+    e = edges_df(spark, G_TWO_CC)
+    results = [
+        connected_components(spark, e).metrics,
+        label_propagation(spark, e, max_iter=2).metrics,
+        k_core(spark, e, k=2).metrics,
+        core_numbers(spark, e).metrics,
+        hits(spark, e, max_iter=2).metrics,
+    ]
+    for metrics in results:
+        assert metrics, "loop recorded no iterations"
+        for m in metrics:
+            assert "shuffle_write_bytes" in m and "shuffle_read_bytes" in m
+        assert any(m["shuffle_write_bytes"] > 0 for m in metrics), metrics
+
+
+def test_bfs_distances_vs_python(spark):
+    """Frontier-expansion BFS matches a Python BFS oracle on hop counts;
+    unreachable vertices absent; rounds == eccentricity + 1."""
+    from collections import deque
+    from bitcoinpagerank_spark.operators.bfs import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 2), (1, 5), (5, 6), (7, 1), (8, 9)]
+    e = edges_df(spark, edges)
+    res = bfs_distances(spark, e, sources=[1])
+    got = {r["id"]: r["dist"] for r in res.distances.collect()}
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want = {1: 0}
+    dq = deque([1])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+    assert res.converged
+    # 7, 8, 9 unreachable along edge direction
+    assert 7 not in got and 8 not in got
+    # multi-source: seeds at distance 0
+    res2 = bfs_distances(spark, e, sources=[1, 8])
+    got2 = {r["id"]: r["dist"] for r in res2.distances.collect()}
+    assert got2[8] == 0 and got2[9] == 1 and got2[1] == 0
+    # lineage rows present
+    assert all("shuffle_write_bytes" in m for m in res.metrics)
