@@ -10,6 +10,9 @@ SURVEY.md §3):
   etl        pages parquet → edges parquet (+ url dictionary)
   pagerank   edges parquet → ranks parquet (checkpointed, resumable)
   components edges parquet → (id, component) parquet
+  scc        edges parquet → (id, scc) parquet
+  bfs        edges parquet → (id, dist) parquet from --sources seeds
+  walks      edges parquet → (walk_id, step, pos) parquet
   labelprop  edges parquet → (id, label) parquet
   triangles  edges parquet → triangle count on stdout
   topk       ranks parquet → top-k report (CSV or text dump)
@@ -25,7 +28,8 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bitcoinpagerank_spark")
     ap.add_argument("command", choices=[
-        "etl", "pagerank", "components", "labelprop", "triangles", "topk",
+        "etl", "pagerank", "components", "scc", "bfs", "walks",
+        "labelprop", "triangles", "topk",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -44,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest snapshot in --checkpoint-dir")
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--sources", default="0",
+                    help="bfs: comma-separated seed vertex ids")
+    ap.add_argument("--walk-length", type=int, default=10)
+    ap.add_argument("--walks-per-vertex", type=int, default=1)
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -93,6 +101,47 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"iterations": res.iterations,
                           "converged": res.converged,
                           "num_components": res.num_components()}))
+        return 0
+
+    if args.command == "scc":
+        from .operators.scc import strongly_connected_components
+
+        res = strongly_connected_components(
+            spark, spark.read.parquet(args.input),
+            num_partitions=args.partitions)
+        if args.output:
+            res.labels.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rounds": res.rounds, "converged": res.converged}))
+        return 0
+
+    if args.command == "bfs":
+        from .operators.bfs import bfs_distances
+
+        seeds = [int(s) for s in args.sources.split(",") if s.strip()]
+        res = bfs_distances(
+            spark, spark.read.parquet(args.input), sources=seeds,
+            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.output:
+            res.distances.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rounds": res.iterations,
+                          "converged": res.converged,
+                          "reached": res.distances.count()}))
+        return 0
+
+    if args.command == "walks":
+        from .operators.walks import random_walks
+
+        res = random_walks(
+            spark, spark.read.parquet(args.input),
+            walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            num_partitions=args.partitions)
+        if args.output:
+            res.steps.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "walk_length": res.walk_length}))
+        else:
+            print(json.dumps({"steps": res.steps.count()}))
         return 0
 
     if args.command == "labelprop":

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -62,8 +63,6 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist
-
-    from .lineage import group_shuffle_bytes, job_group, next_group
 
     converged = False
     it = 0

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Observation
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, vertices
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -111,8 +112,6 @@ def connected_components(
     it = 0
     prev_sig: tuple | None = None
     metrics: list[dict] = []
-    from .lineage import group_shuffle_bytes, job_group, next_group
-
     while it < max_iter:
         t0 = time.monotonic()
         stepped = _small_star(_large_star(pairs))

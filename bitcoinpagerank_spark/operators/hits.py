@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, auto_partitions, vertices
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -62,8 +63,6 @@ def hits(
     h = verts.withColumn("score", F.lit(1.0 / n)).localCheckpoint(eager=True)
     a = None
     metrics: list[dict] = []
-    from .lineage import group_shuffle_bytes, job_group, next_group
-
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         grp = next_group("hits", it)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, undirected_view
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -65,8 +66,6 @@ def k_core(
             .select("id")
         )
         obs = Observation(f"kcore_round_{it}")
-        from .lineage import group_shuffle_bytes, job_group, next_group
-
         grp = next_group("kcore", it)
         with job_group(spark, grp, "k-core peel round"):
             new_pairs = (
@@ -156,8 +155,6 @@ def core_numbers(
             .agg(F.max("cand").alias("h"))
         )
         obs = Observation(f"coreness_round_{it}")
-        from .lineage import group_shuffle_bytes, job_group, next_group
-
         grp = next_group("coreness", it)
         with job_group(spark, grp, "coreness h-index round"):
             new_core = (

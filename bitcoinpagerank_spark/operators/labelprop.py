@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, undirected_view, vertices
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -71,8 +72,6 @@ def label_propagation(
             .select("vid", F.col("label").alias("new_label"))
         )
         obs = Observation(f"lpa_iter_{it}")
-        from .lineage import group_shuffle_bytes, job_group, next_group
-
         grp = next_group("lpa", it)
         with job_group(spark, grp, "label-propagation round"):
             new_labels = (

@@ -51,6 +51,7 @@ from .edges import (
     out_degrees,
     vertices,
 )
+from .lineage import group_shuffle_bytes, job_group, next_group
 
 ALPHA = 0.15  # jump probability, RunPageRankBasic.java:246
 DEFAULT_TOL = 1e-6
@@ -108,37 +109,6 @@ class PageRankResult:
                 "shuffle_read_bytes long, shuffle_write_bytes long"
             ),
         )
-
-
-# unique job-group token per pagerank run, so getJobIdsForGroup never
-# picks up a previous run's jobs in the same session
-_RUN_COUNTER = [0]
-
-
-def _group_shuffle_bytes(spark: SparkSession, group: str) -> tuple[int, int]:
-    """Sum shuffle read/write bytes over all stages of the jobs tagged
-    with ``group`` — read from the driver's app status store (the same
-    data the UI/REST API serves; available with the UI server disabled).
-    Degrades to (0, 0) if the status surface is missing."""
-    try:
-        sc = spark.sparkContext
-        tracker = sc.statusTracker()
-        store = sc._jsc.sc().statusStore()
-        read = write = 0
-        for jid in tracker.getJobIdsForGroup(group):
-            jinfo = tracker.getJobInfo(jid)
-            if jinfo is None:
-                continue
-            for sid in list(jinfo.stageIds):
-                try:
-                    sd = store.lastStageAttempt(int(sid))
-                except Exception:
-                    continue  # evicted or still pending
-                read += int(sd.shuffleReadBytes())
-                write += int(sd.shuffleWriteBytes())
-        return read, write
-    except Exception:
-        return 0, 0
 
 
 def _init_state(
@@ -363,8 +333,6 @@ def _pagerank_loop(
     metrics: list[IterationMetrics] = list(prior_metrics or [])
     converged = False
     it = start_iteration
-    _RUN_COUNTER[0] += 1
-    run_token = _RUN_COUNTER[0]
     while it < max_iter:
         t0 = time.monotonic()
         if strategy == "csr":
@@ -381,9 +349,8 @@ def _pagerank_loop(
         from pyspark.sql import Observation
 
         obs = Observation(f"pr_iter_{it}")
-        group = f"pr_{run_token}_it{it}"
-        spark.sparkContext.setJobGroup(group, "pagerank iteration")
-        try:
+        group = next_group("pr", it)
+        with job_group(spark, group, "pagerank iteration"):
             new_ranks = new_ranks.observe(
                 obs,
                 F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
@@ -393,9 +360,7 @@ def _pagerank_loop(
                 ).alias("dm"),
             ).localCheckpoint(eager=True)
             agg = obs.get
-        finally:
-            spark.sparkContext.setJobGroup(None, None)
-        srb, swb = _group_shuffle_bytes(spark, group)
+        srb, swb = group_shuffle_bytes(spark, group)
         delta, total = float(agg["delta"]), float(agg["total"])
         it += 1
         metrics.append(

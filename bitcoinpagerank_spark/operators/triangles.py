@@ -70,3 +70,28 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("triangles"))
     )
     return per_vertex
+
+
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, deg, triangles, lcc) over the undirected simple graph:
+    lcc = 2*T(v) / (deg(v) * (deg(v)-1)), 0 for deg < 2.
+
+    Composition of the degree-ordered per-vertex triangle count with the
+    undirected degrees — two hash aggregates and a left join, all
+    Catalyst; inherits the O(sqrt(E)) wedge bound of oriented_edges."""
+    und = undirected_view(edges)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangle_count_per_vertex(edges)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0
+            * F.coalesce(F.col("triangles"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )

@@ -517,6 +517,146 @@ def q_triangles_per_vertex(spark, sf_dir):
     )
 
 
+# local clustering coefficient = 2*T(v)/(deg*(deg-1)) on the undirected
+# simple graph; rounded to 9 places so the float division hashes
+# identically across engines
+@register(
+    "g_local_clustering",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY a),
+    tris AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+      SELECT id, count(*) AS triangles FROM (
+        SELECT x AS id FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+      ) GROUP BY id
+    )
+    SELECT d.id, d.deg, coalesce(pv.triangles, 0) AS triangles,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(pv.triangles, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 9) AS lcc
+    FROM deg d LEFT JOIN pv ON pv.id = d.id""",
+)
+def q_local_clustering(spark, sf_dir):
+    from ..operators.triangles import local_clustering_coefficient
+
+    res = local_clustering_coefficient(doc_edges(spark, sf_dir))
+    return res.select(
+        "id",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round("lcc", 9).alias("lcc"),
+    )
+
+
+# out-degree histogram (vertices with no out-edges count at degree 0):
+# the first summarization anyone runs on a crawled link graph
+@register(
+    "g_degree_histogram",
+    f"""WITH {EDGES_CTE},
+    od AS (SELECT src_id, count(*) AS deg FROM edges GROUP BY src_id),
+    vd AS (
+      SELECT v.id, coalesce(od.deg, 0) AS out_degree
+      FROM verts v LEFT JOIN od ON od.src_id = v.id
+    )
+    SELECT out_degree, count(*) AS n_vertices
+    FROM vd GROUP BY out_degree""",
+)
+def q_degree_histogram(spark, sf_dir):
+    e = doc_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    od = e.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        verts.join(od, verts["id"] == od["src_id"], "left")
+        .select(F.coalesce(F.col("deg"), F.lit(0)).alias("out_degree"))
+        .groupBy("out_degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+# strongly connected components; oracle = mutual-reachability closure
+# (tractable at catalog scale: |V| <= a few thousand)
+@register(
+    "g_scc",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    reach(a, b) AS (
+      SELECT src_id, dst_id FROM edges
+      UNION
+      SELECT reach.a, e.dst_id FROM reach JOIN edges e ON e.src_id = reach.b
+    )
+    SELECT id, min(m) AS scc FROM (
+      SELECT id, id AS m FROM verts
+      UNION ALL
+      SELECT r1.a, r1.b
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    ) GROUP BY id""",
+)
+def q_scc(spark, sf_dir):
+    from ..operators.scc import strongly_connected_components
+
+    res = strongly_connected_components(spark, doc_edges(spark, sf_dir))
+    return res.labels.select("id", "scc")
+
+
+def _walk_steps_sql(walk_length: int) -> str:
+    """Unrolled per-step CTEs replaying random_walks' LCG choice
+    (operators/walks.py: idx = (walk_id*A + step*B + C) % out_degree)."""
+    from ..operators.walks import LCG_A, LCG_B, LCG_C
+
+    ctes, selects = [], ["SELECT walk_id, CAST(0 AS BIGINT) AS step, pos FROM s0"]
+    for s in range(1, walk_length + 1):
+        ctes.append(
+            f"""s{s} AS (
+              SELECT p.walk_id, a.dst_id AS pos
+              FROM s{s - 1} p
+              JOIN wdeg d ON d.v = p.pos
+              JOIN adj a ON a.src_id = p.pos
+               AND a.idx = (p.walk_id * {LCG_A} + {s * LCG_B + LCG_C}) % d.deg
+            )"""
+        )
+        selects.append(f"SELECT walk_id, {s}, pos FROM s{s}")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+# deterministic random walks, length 3, one walk per vertex: the
+# node-embedding / Monte-Carlo sampling corpus. Choice arithmetic is
+# identical in both engines, so the oracle replays the exact walks
+@register(
+    "g_random_walks",
+    f"""WITH {EDGES_CTE},
+    adj AS (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id ORDER BY dst_id) - 1 AS idx
+      FROM edges
+    ),
+    wdeg AS (SELECT src_id AS v, count(*) AS deg FROM adj GROUP BY src_id),
+    s0 AS (SELECT id AS walk_id, id AS pos FROM verts),
+    {_walk_steps_sql(3)}""",
+)
+def q_random_walks(spark, sf_dir):
+    from ..operators.walks import random_walks
+
+    res = random_walks(spark, doc_edges(spark, sf_dir), walk_length=3)
+    return res.steps.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "pos"
+    )
+
+
 # shared undirected symmetric-closure CTE for the k-core oracles
 _UND_CTE = """
 und AS (
@@ -895,6 +1035,101 @@ def q_ev_top_users(spark, sf_dir):
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# per-user merging session windows (gap 30 min); oracle is the classic
+# gap-and-islands rewrite. Both sides break a session when the inter-event
+# gap is >= the gap duration (session_window merges strictly-inside
+# events), and emit min/max event time as epoch seconds so the value hash
+# is engine-neutral
+@register(
+    "ev_sessions",
+    """WITH g AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       s AS (
+         SELECT *, sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid FROM g
+       )
+       SELECT user_id,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+              CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+              count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM s GROUP BY user_id, sid""",
+)
+def q_ev_sessions(spark, sf_dir):
+    from ..streaming import session_aggregate
+
+    return session_aggregate(_t(spark, sf_dir, "events"), gap="30 minutes").select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SINK_SEQ = [0]
+
+
+def _stream_sink(prefix: str) -> str:
+    _STREAM_SINK_SEQ[0] += 1
+    return f"{prefix}_{_STREAM_SINK_SEQ[0]}"
+
+
+# the streaming plans under the driver's batch-oracle gate: the same
+# transformations the batch entries use, executed through readStream +
+# availableNow into a memory sink. Oracle parity here certifies the
+# streaming path end-to-end (source -> watermark -> stateful agg -> sink)
+@register(
+    "ev_stream_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_ev_stream_tumbling(spark, sf_dir):
+    from ..streaming import materialize_stream, read_event_stream, windowed_counts
+
+    stream = windowed_counts(
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    out = materialize_stream(stream, _stream_sink("cat_tumbling"), "complete")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "ev_stream_dedup",
+    """SELECT event_id, user_id, event_type, value FROM events""",
+)
+def q_ev_stream_dedup(spark, sf_dir):
+    """Two file streams over the same events path unioned (every event
+    arrives twice) then deduped by event_id within the watermark — the
+    exactly-once ingestion path. Non-vacuous: without the dedup the sink
+    would hold 2x the oracle's rows."""
+    from ..streaming import dedup_stream, materialize_stream, read_event_stream
+
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, path).unionByName(
+        read_event_stream(spark, path)
+    )
+    out = materialize_stream(
+        dedup_stream(doubled, watermark="40 days"),
+        _stream_sink("cat_dedup"),
+        "append",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 # ===================================================== document pipelines

@@ -32,6 +32,11 @@ VPCS = tuple(
 )
 REPS = int(os.environ.get("TREND_REPS", "2"))
 
+# the 3M-vpc × 16-core leg (48M vertices / 96M edges) OOMs the 16g
+# default heap during localCheckpoint; use one larger heap for every
+# trend leg so each 4-vs-16 pair stays like-for-like
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 
 def main() -> None:
     lo, hi = CORE_LEVELS

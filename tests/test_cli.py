@@ -52,3 +52,26 @@ def test_cli_rejects_bad_command():
     )
     assert out.returncode != 0
     assert "invalid choice" in out.stderr
+
+
+def test_cli_graph_breadth_commands(spark, tmp_path):
+    """scc / bfs / walks as real subprocesses over one edge parquet."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
+    path = str(tmp_path / "edges2")
+    edges_df(spark, edges).write.parquet(path)
+
+    scc_out = str(tmp_path / "scc")
+    scc = json.loads(_cli(["scc", "--input", path, "--output", scc_out]))
+    assert scc["converged"] is True
+    got = {r["id"]: r["scc"] for r in spark.read.parquet(scc_out).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    bfs = json.loads(_cli([
+        "bfs", "--input", path, "--sources", "1",
+    ]))
+    assert bfs["converged"] is True and bfs["reached"] == 5
+
+    walks = json.loads(_cli([
+        "walks", "--input", path, "--walk-length", "3",
+    ]))
+    assert walks["steps"] == 5 * 4  # no dangling vertices: full walks

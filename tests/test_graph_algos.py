@@ -209,3 +209,148 @@ def test_bfs_distances_vs_python(spark):
     assert got2[8] == 0 and got2[9] == 1 and got2[1] == 0
     # lineage rows present
     assert all("shuffle_write_bytes" in m for m in res.metrics)
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    """Triangle 1-2-3 with tail 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3, lcc(4)=0."""
+    from bitcoinpagerank_spark.operators.triangles import (
+        local_clustering_coefficient,
+    )
+
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {
+        r["id"]: (r["deg"], r["triangles"], round(r["lcc"], 6))
+        for r in local_clustering_coefficient(e).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(1 / 3, 6)),
+        4: (1, 0, 0.0),
+    }
+
+
+def _tarjan(edges):
+    """Iterative Tarjan; returns {vertex: min vertex id of its SCC}."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    verts = set()
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+        verts.add(s)
+        verts.add(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)],  # 2 cycles + bridge
+        [(1, 2), (2, 3), (3, 4)],  # chain: all singletons
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6), (6, 5)],
+        # deterministic pseudo-random digraph, 40 vertices
+        [((i * 17 + 3) % 40, (i * 29 + 7) % 40) for i in range(90)],
+    ],
+)
+def test_scc_vs_tarjan(spark, edges):
+    from bitcoinpagerank_spark.operators.scc import strongly_connected_components
+
+    res = strongly_connected_components(spark, edges_df(spark, edges))
+    got = {r["id"]: r["scc"] for r in res.labels.collect()}
+    want = _tarjan(edges)
+    # drop self-loop-only vertices the operator excludes
+    want = {v: m for v, m in want.items() if v in got}
+    assert got == want
+    assert res.converged
+    assert all("shuffle_write_bytes" in m for m in res.metrics)
+
+
+def test_random_walks_replay_oracle(spark):
+    """Walks replay exactly under the LCG in python; dangling vertices
+    stop walks early; walks_per_vertex ids are disjoint."""
+    from bitcoinpagerank_spark.operators.walks import (
+        LCG_A,
+        LCG_B,
+        LCG_C,
+        random_walks,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5)]  # 5 dangling
+    W, L = 2, 4
+    res = random_walks(spark, edges_df(spark, edges), walk_length=L,
+                       walks_per_vertex=W)
+    got = sorted(
+        (r["walk_id"], r["step"], r["pos"]) for r in res.steps.collect()
+    )
+
+    adj = {}
+    for s, d in sorted(edges, key=lambda e: (e[0], e[1])):
+        adj.setdefault(s, [])
+        if d not in adj[s]:
+            adj[s].append(d)
+    verts = sorted({v for e in edges for v in e})
+    want = []
+    for v in verts:
+        for i in range(W):
+            wid = v * W + i
+            pos = v
+            want.append((wid, 0, pos))
+            for step in range(1, L + 1):
+                nbrs = adj.get(pos)
+                if not nbrs:
+                    break
+                pos = nbrs[(wid * LCG_A + step * LCG_B + LCG_C) % len(nbrs)]
+                want.append((wid, step, pos))
+    assert got == sorted(want)
+    # walks from 5 are length 0; walks reaching 5 stop there
+    steps_from_5 = [t for t in got if t[0] // W == 5]
+    assert all(t[1] == 0 for t in steps_from_5)
