@@ -158,3 +158,52 @@ def contributions_table(
     if num_partitions:
         contrib = contrib.repartition(num_partitions, SRC)
     return contrib
+
+
+def quotient_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    keep_internal: bool = True,
+) -> DataFrame:
+    """Contract the page graph along a vertex→group mapping: the host- or
+    domain-level rollup of a Common-Crawl link graph (pages → hosts),
+    (src_group, dst_group, weight) with weight = number of underlying
+    page edges. ``mapping`` is (id, grp); vertices absent from the
+    mapping drop out (their edges carry no group). ``keep_internal=False``
+    drops intra-group edges (self-loops of the quotient).
+
+    Plan: two hash joins against the (small) mapping — Catalyst
+    broadcasts it when it fits — plus one aggregate keyed on the group
+    pair. At 10^12 pages the mapping (one row per page) is NOT small, but
+    it is partitioned on id like everything else and the joins co-locate;
+    the output has one row per (host, host) pair, orders of magnitude
+    smaller than the input.
+    """
+    src_m = mapping.select(F.col("id").alias(SRC), F.col("grp").alias("src_grp"))
+    dst_m = mapping.select(F.col("id").alias(DST), F.col("grp").alias("dst_grp"))
+    q = edges.join(src_m, SRC).join(dst_m, DST)
+    if not keep_internal:
+        q = q.where(F.col("src_grp") != F.col("dst_grp"))
+    return q.groupBy("src_grp", "dst_grp").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row (assortativity) — Pearson correlation of the undirected
+    degrees at the two endpoints of each edge, over the symmetric view so
+    the statistic is orientation-free (the standard Newman r). Positive:
+    hubs link to hubs; web crawl graphs are typically disassortative.
+
+    Plan: degree agg + two joins + one corr aggregate; no driver-side
+    iteration, a single reduce to one row.
+    """
+    sym = undirected_view(edges)
+    deg = sym.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    joined = (
+        sym.join(deg.select(F.col("id").alias(SRC), F.col("deg").alias("deg_s")), SRC)
+        .join(deg.select(F.col("id").alias(DST), F.col("deg").alias("deg_d")), DST)
+    )
+    return joined.agg(
+        F.corr(F.col("deg_s").cast("double"), F.col("deg_d").cast("double")).alias(
+            "assortativity"
+        )
+    )

@@ -1670,3 +1670,178 @@ def q_adjacency_multi(spark, sf_dir):
         F.array_join(F.col("dsts"), ",").alias("dsts"),
         F.size("dsts").cast("long").alias("out_degree"),
     )
+
+
+# ---------------------------------------------------------- link prediction
+# shared oracle CTE fragment: symmetric adjacency + undirected degrees
+_SYM_DEG_CTE = """
+sym AS (
+  SELECT src_id AS id, dst_id AS nbr FROM edges
+  UNION
+  SELECT dst_id, src_id FROM edges
+),
+deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY id)
+"""
+
+
+@register(
+    "g_common_neighbors",
+    f"""WITH {EDGES_CTE},
+    {_SYM_DEG_CTE}
+    SELECT l.id AS u, r.id AS v, count(*) AS common
+    FROM sym l JOIN sym r ON r.nbr = l.nbr AND l.id < r.id
+    GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def q_common_neighbors(spark, sf_dir):
+    from ..operators.linkpred import common_neighbor_pairs
+
+    return common_neighbor_pairs(doc_edges(spark, sf_dir), min_common=2)
+
+
+@register(
+    "g_jaccard_pairs",
+    f"""WITH {EDGES_CTE},
+    {_SYM_DEG_CTE}
+    SELECT l.id AS u, r.id AS v, count(*) AS common,
+           round(count(*) * 1.0
+                 / (any_value(du.deg) + any_value(dv.deg) - count(*)), 9)
+             AS jaccard
+    FROM sym l JOIN sym r ON r.nbr = l.nbr AND l.id < r.id
+    JOIN deg du ON du.id = l.id
+    JOIN deg dv ON dv.id = r.id
+    GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def q_jaccard_pairs(spark, sf_dir):
+    from ..operators.linkpred import jaccard_pairs
+
+    res = jaccard_pairs(doc_edges(spark, sf_dir), min_common=2)
+    return res.select("u", "v", "common", F.round("jaccard", 9).alias("jaccard"))
+
+
+@register(
+    "g_adamic_adar",
+    f"""WITH {EDGES_CTE},
+    {_SYM_DEG_CTE}
+    SELECT l.id AS u, r.id AS v, count(*) AS common,
+           round(sum(1.0 / ln(dn.deg)), 9) AS adamic_adar
+    FROM sym l JOIN sym r ON r.nbr = l.nbr AND l.id < r.id
+    JOIN deg dn ON dn.id = l.nbr
+    GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def q_adamic_adar(spark, sf_dir):
+    from ..operators.linkpred import adamic_adar_pairs
+
+    res = adamic_adar_pairs(doc_edges(spark, sf_dir), min_common=2)
+    return res.select(
+        "u", "v", "common", F.round("adamic_adar", 9).alias("adamic_adar")
+    )
+
+
+@register(
+    "g_predicted_links",
+    f"""WITH {EDGES_CTE},
+    {_SYM_DEG_CTE},
+    cand AS (
+      SELECT l.id AS u, r.id AS v, count(*) AS common,
+             round(count(*) * 1.0
+                   / (any_value(du.deg) + any_value(dv.deg) - count(*)), 9)
+               AS jaccard,
+             round(sum(1.0 / ln(dn.deg)), 9) AS adamic_adar
+      FROM sym l JOIN sym r ON r.nbr = l.nbr AND l.id < r.id
+      JOIN deg du ON du.id = l.id
+      JOIN deg dv ON dv.id = r.id
+      JOIN deg dn ON dn.id = l.nbr
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT c.* FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.id = c.u AND s.nbr = c.v)""",
+)
+def q_predicted_links(spark, sf_dir):
+    """End-to-end link prediction: wedge-scored pairs minus existing
+    edges (the left-anti of J4 composed with the similarity scores)."""
+    from ..operators.linkpred import predicted_links
+
+    res = predicted_links(doc_edges(spark, sf_dir), min_common=2)
+    return res.select(
+        "u",
+        "v",
+        "common",
+        F.round("jaccard", 9).alias("jaccard"),
+        F.round("adamic_adar", 9).alias("adamic_adar"),
+    )
+
+
+# ------------------------------------------------------ host-level rollup
+@register(
+    "g_host_graph",
+    f"""WITH {EDGES_CTE}
+    SELECT ds.source AS src_host, dd.source AS dst_host,
+           count(*) AS weight
+    FROM edges e
+    JOIN documents ds ON ds.doc_id = e.src_id
+    JOIN documents dd ON dd.doc_id = e.dst_id
+    GROUP BY 1, 2""",
+)
+def q_host_graph(spark, sf_dir):
+    """Quotient graph: page edges contracted to the documents' ``source``
+    (the host/domain rollup every crawl pipeline runs first)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("source").alias("grp")
+    )
+    q = E.quotient_graph(doc_edges(spark, sf_dir), docs)
+    return q.select(
+        F.col("src_grp").alias("src_host"),
+        F.col("dst_grp").alias("dst_host"),
+        "weight",
+    )
+
+
+@register(
+    "g_host_link_stats",
+    f"""WITH {EDGES_CTE},
+    hg AS (
+      SELECT ds.source AS src_host, dd.source AS dst_host, count(*) AS weight
+      FROM edges e
+      JOIN documents ds ON ds.doc_id = e.src_id
+      JOIN documents dd ON dd.doc_id = e.dst_id
+      GROUP BY 1, 2
+    )
+    SELECT src_host,
+           sum(CASE WHEN src_host = dst_host THEN weight ELSE 0 END) AS intra_links,
+           sum(CASE WHEN src_host <> dst_host THEN weight ELSE 0 END) AS inter_links,
+           round(sum(CASE WHEN src_host = dst_host THEN weight ELSE 0 END) * 1.0
+                 / sum(weight), 9) AS intra_ratio
+    FROM hg GROUP BY src_host""",
+)
+def q_host_link_stats(spark, sf_dir):
+    """Per-host intra vs cross-host link mix — the first health metric on
+    a host rollup (boilerplate nav links are intra-host)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("source").alias("grp")
+    )
+    q = E.quotient_graph(doc_edges(spark, sf_dir), docs)
+    intra = F.when(F.col("src_grp") == F.col("dst_grp"), F.col("weight")).otherwise(
+        F.lit(0)
+    )
+    inter = F.when(F.col("src_grp") != F.col("dst_grp"), F.col("weight")).otherwise(
+        F.lit(0)
+    )
+    return q.groupBy(F.col("src_grp").alias("src_host")).agg(
+        F.sum(intra).alias("intra_links"),
+        F.sum(inter).alias("inter_links"),
+        F.round(F.sum(intra) / F.sum(F.col("weight")), 9).alias("intra_ratio"),
+    )
+
+
+@register(
+    "g_assortativity",
+    f"""WITH {EDGES_CTE},
+    {_SYM_DEG_CTE}
+    SELECT round(corr(ds.deg, dd.deg), 6) AS assortativity
+    FROM sym s JOIN deg ds ON ds.id = s.id JOIN deg dd ON dd.id = s.nbr""",
+)
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity (1 row) — rounded to 6 places: the two
+    engines' one-pass corr implementations differ in the last ulps."""
+    res = E.degree_assortativity(doc_edges(spark, sf_dir))
+    return res.select(F.round("assortativity", 6).alias("assortativity"))
