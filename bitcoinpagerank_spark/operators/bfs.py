@@ -98,3 +98,92 @@ def bfs_distances(
         dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
         frontier = new_frontier
     return BfsResult(dist, it, converged, metrics)
+
+
+def labeled_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> BfsResult:
+    """Per-source hop distances: (src, id, dist) for every (seed, vertex)
+    pair with a directed path seed→vertex. Same frontier loop as
+    ``bfs_distances`` with the seed id carried through the expansion, so
+    state is O(|S|·|V|) — callers pass a seed SAMPLE (the Eppstein-Wang
+    estimator regime), not the full vertex set."""
+    if num_partitions is None:
+        from .edges import auto_partitions
+
+        num_partitions = auto_partitions(spark, edges.count())
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame([(int(s),) for s in sources], "id long")
+
+    e = (
+        edges.select(SRC, DST)
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .repartition(num_partitions, SRC)
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col("id").cast("long").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("id"), F.lit(0).cast("long").alias("dist"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+
+    converged = False
+    it = 0
+    metrics: list[dict] = []
+    while it < max_iter:
+        t0 = time.monotonic()
+        reached = (
+            e.join(frontier.select(F.col("id").alias(SRC), "src", "dist"), SRC)
+            .select("src", F.col(DST).alias("id"), (F.col("dist") + 1).alias("dist"))
+            .distinct()
+            .join(dist.select("src", "id"), ["src", "id"], "left_anti")
+        )
+        obs = Observation(f"lbfs_round_{it}")
+        grp = next_group("lbfs", it)
+        with job_group(spark, grp, "labeled BFS frontier round"):
+            new_frontier = reached.observe(
+                obs, F.count(F.lit(1)).alias("cnt")
+            ).localCheckpoint(eager=True)
+            cnt = int(obs.get["cnt"] or 0)
+        srb, swb = group_shuffle_bytes(spark, grp)
+        it += 1
+        metrics.append(
+            {"iteration": it, "frontier": cnt,
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
+        )
+        if cnt == 0:
+            converged = True
+            break
+        dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    return BfsResult(dist, it, converged, metrics)
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, harmonic, n_sources) — inbound harmonic centrality estimated
+    from a seed sample: harmonic(v) = Σ_{s ∈ S, s≠v, s→v} 1/d(s, v)
+    (the Eppstein-Wang sampled estimator; exact when S = all vertices).
+    One labeled BFS + one aggregate."""
+    res = labeled_bfs(spark, edges, sources, max_iter, num_partitions)
+    return (
+        res.distances.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )

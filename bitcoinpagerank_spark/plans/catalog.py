@@ -1845,3 +1845,82 @@ def q_assortativity(spark, sf_dir):
     engines' one-pass corr implementations differ in the last ulps."""
     res = E.degree_assortativity(doc_edges(spark, sf_dir))
     return res.select(F.round("assortativity", 6).alias("assortativity"))
+
+
+# ----------------------------------------------------- k-truss / harmonic
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled support-peel rounds over the canonical u<v edge set; the
+    final support column is recomputed on the surviving set (matches
+    operators/ktruss.py's fixed-round contract)."""
+    tri = (
+        "SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM c{r} e1 "
+        "JOIN c{r} e2 ON e2.u = e1.v "
+        "JOIN c{r} e3 ON e3.u = e1.u AND e3.v = e2.v"
+    )
+    sup = (
+        "SELECT u, v, count(*) AS support FROM (\n"
+        "  SELECT x AS u, y AS v FROM t{r}\n"
+        "  UNION ALL SELECT y, z FROM t{r}\n"
+        "  UNION ALL SELECT x, z FROM t{r}\n"
+        ") GROUP BY u, v"
+    )
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "c0 AS (SELECT DISTINCT least(src_id, dst_id) AS u,"
+        " greatest(src_id, dst_id) AS v FROM edges),",
+    ]
+    for r in range(rounds):
+        parts.append(f"t{r} AS ({tri.format(r=r)}),")
+        parts.append(f"s{r} AS ({sup.format(r=r)}),")
+        parts.append(
+            f"c{r+1} AS (SELECT c.u, c.v FROM c{r} c "
+            f"JOIN s{r} s ON s.u = c.u AND s.v = c.v "
+            f"WHERE s.support >= {k - 2}),"
+        )
+    parts.append(f"t{rounds} AS ({tri.format(r=rounds)}),")
+    parts.append(f"s{rounds} AS ({sup.format(r=rounds)})")
+    parts.append(
+        f"SELECT c.u, c.v, coalesce(s.support, 0) AS support "
+        f"FROM c{rounds} c LEFT JOIN s{rounds} s ON s.u = c.u AND s.v = c.v"
+    )
+    return "\n".join(parts)
+
+
+@register("g_ktruss3_r2", _ktruss_sql(3, 2))
+def q_ktruss3_r2(spark, sf_dir):
+    """Two fixed peel rounds of the 3-truss (fixed-round semantics keep
+    the oracle SQL-unrollable, the g_pagerank_iter3 precedent; k=3 keeps
+    the oracle non-vacuous on the doc graph — its 4-truss peels to
+    empty); the converged operator is pytest-oracled against a
+    sequential peel."""
+    from ..operators.ktruss import k_truss
+
+    res = k_truss(spark, doc_edges(spark, sf_dir), k=3, max_iter=2)
+    return res.edges
+
+
+@register(
+    "g_harmonic",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    seeds AS (SELECT id FROM verts WHERE id % 50 = 1),
+    r AS (
+      SELECT id AS src, id, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT r.src, e.dst_id, r.dist + 1
+      FROM r JOIN edges e ON e.src_id = r.id WHERE r.dist < 40
+    ),
+    d AS (SELECT src, id, min(dist) AS dist FROM r GROUP BY 1, 2)
+    SELECT id, round(sum(1.0 / dist), 9) AS harmonic,
+           count(*) AS n_sources
+    FROM d WHERE dist > 0 GROUP BY id""",
+)
+def q_harmonic(spark, sf_dir):
+    """Inbound harmonic centrality from the deterministic id%50=1 seed
+    sample (Eppstein-Wang estimator over a labeled multi-source BFS)."""
+    from ..operators.bfs import harmonic_centrality
+    from ..operators.edges import vertices
+
+    e = doc_edges(spark, sf_dir)
+    seeds = vertices(e).where(F.col("id") % 50 == 1)
+    res = harmonic_centrality(spark, e, seeds)
+    return res.select("id", F.round("harmonic", 9).alias("harmonic"), "n_sources")
