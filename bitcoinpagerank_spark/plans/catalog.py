@@ -1924,3 +1924,92 @@ def q_harmonic(spark, sf_dir):
     seeds = vertices(e).where(F.col("id") % 50 == 1)
     res = harmonic_centrality(spark, e, seeds)
     return res.select("id", F.round("harmonic", 9).alias("harmonic"), "n_sources")
+
+
+# ------------------------------------------------- sketches / term stats
+from ..operators.sketches import KMV_A, KMV_B  # noqa: E402
+
+
+@register(
+    "rel_kmv_distinct",
+    f"""WITH h AS (
+      SELECT DISTINCT (l_orderkey * {KMV_A} + {KMV_B}) % {HASH_P} AS h
+      FROM lineitem
+    ),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT count(*) AS n_hashes, max(h) AS kth_min,
+           round(CASE WHEN count(*) < 256 THEN count(*) * 1.0
+                 ELSE 255.0 * {HASH_P} / max(h) END, 6) AS est_distinct
+    FROM k""",
+)
+def q_rel_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over lineitem.l_orderkey — deterministic
+    LCG hash, so the estimate (not just the truth) is oracle-checkable;
+    ~14.7k true distinct at sf0.01 keeps the estimator branch (not the
+    exact small-set branch) exercised."""
+    from ..operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("value"))
+    return kmv_distinct(li, k=256)
+
+
+@register(
+    "doc_kmv_shingles_by_host",
+    f"""WITH {DOC_TOKS_CTE}, {SHINGLES_CTE},
+    hs AS (
+      SELECT DISTINCT d.source AS key,
+             (sh.s * {KMV_A} + {KMV_B}) % {HASH_P} AS h
+      FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+    ),
+    rk AS (
+      SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM hs
+    )
+    SELECT key, count(*) AS n_hashes, max(h) AS kth_min,
+           round(CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                 ELSE 63.0 * {HASH_P} / max(h) END, 6) AS est_distinct
+    FROM rk WHERE rn <= 64 GROUP BY key""",
+)
+def q_doc_kmv_shingles_by_host(spark, sf_dir):
+    """Per-host distinct-shingle KMV (k=64): the by-key mergeable form —
+    'how much unique content does each host contribute' without a full
+    per-host distinct."""
+    from ..functions.text import shingle_ids
+    from ..operators.sketches import kmv_distinct_by_key
+
+    tids = _doc_tids_dict(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    sh = tids.join(docs, "id").select(
+        "source", F.explode(F.array_distinct(shingle_ids(F.col("tids")))).alias("s")
+    )
+    return kmv_distinct_by_key(sh, key_col="source", col="s", k=64)
+
+
+@register(
+    "doc_top_terms",
+    rf"""WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS term FROM toks)
+    SELECT term, count(*) AS freq FROM tok
+    WHERE NOT list_contains({_STOP_SQL}, term)
+    GROUP BY term ORDER BY freq DESC, term LIMIT 20""",
+)
+def q_doc_top_terms(spark, sf_dir):
+    """Corpus top-20 non-stopword terms (freq desc, term asc — a total
+    order, so the LIMIT boundary is deterministic on both engines)."""
+    from ..functions.text import STOPWORDS, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .where(~F.col("term").isin(*sorted(STOPWORDS)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(20)
+    )
