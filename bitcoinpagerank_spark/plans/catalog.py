@@ -2013,3 +2013,70 @@ def q_doc_top_terms(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("term"))
         .limit(20)
     )
+
+
+# ------------------------------------------- sliding windows / funnel join
+_SLIDING_SQL = """WITH k AS (SELECT unnest(generate_series(0, 3)) AS k)
+SELECT CAST((floor(epoch(ts) / 900) - k.k) * 900 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events, k GROUP BY 1, 2"""
+
+
+@register("ev_sliding_window", _SLIDING_SQL)
+def q_ev_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 15 minutes (each event in 4 windows;
+    the oracle replays Spark's epoch-aligned window starts)."""
+    from ..streaming import sliding_counts
+
+    res = sliding_counts(_t(spark, sf_dir, "events"))
+    return res.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register("ev_stream_sliding", _SLIDING_SQL)
+def q_ev_stream_sliding(spark, sf_dir):
+    """The same sliding aggregate executed as a Structured Streaming job
+    (readStream -> watermark -> sliding window -> complete-mode memory
+    sink) — oracle parity certifies the streaming path."""
+    from ..streaming import materialize_stream, read_event_stream, sliding_counts
+
+    stream = sliding_counts(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    out = materialize_stream(stream, _stream_sink("cat_sliding"), "complete")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+_FOLLOWUP_SQL = """SELECT a.user_id, a.event_id AS first_id,
+       b.event_id AS then_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+FROM events a
+JOIN events b ON b.user_id = a.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR"""
+
+
+@register("ev_followup", _FOLLOWUP_SQL)
+def q_ev_followup(spark, sf_dir):
+    """view→purchase funnel pairs within 12 hours (batch form of the
+    stream-stream join)."""
+    from ..streaming import followup_pairs
+
+    return followup_pairs(_t(spark, sf_dir, "events"))
+
+
+@register("ev_stream_followup", _FOLLOWUP_SQL)
+def q_ev_stream_followup(spark, sf_dir):
+    """The same funnel as a watermarked stream-stream inner join — the
+    time-range condition bounds both sides' buffered state."""
+    from ..streaming import followup_pairs, materialize_stream, read_event_stream
+
+    stream = followup_pairs(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    return materialize_stream(stream, _stream_sink("cat_followup"), "append")

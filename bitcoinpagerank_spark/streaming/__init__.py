@@ -11,19 +11,23 @@ built-in operators can't express incrementally.
 from .events import (
     EVENT_SCHEMA,
     dedup_stream,
+    followup_pairs,
     materialize_stream,
     read_event_stream,
     session_aggregate,
     sessionize_stateful,
+    sliding_counts,
     windowed_counts,
 )
 
 __all__ = [
     "EVENT_SCHEMA",
     "dedup_stream",
+    "followup_pairs",
     "materialize_stream",
     "read_event_stream",
     "session_aggregate",
     "sessionize_stateful",
+    "sliding_counts",
     "windowed_counts",
 ]

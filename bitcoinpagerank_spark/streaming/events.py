@@ -250,3 +250,76 @@ def materialize_stream(
     q = writer.start()
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_duration: str = "60 minutes",
+    slide: str = "15 minutes",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window (n, sum_value) per event_type — each event lands in
+    duration/slide overlapping windows (Spark expands that fan-out inside
+    the window expression; state is still bounded by the watermark).
+    Same batch/stream dual as ``windowed_counts``."""
+    src = events.withWatermark("ts", watermark) if (
+        watermark and events.isStreaming
+    ) else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def followup_pairs(
+    events: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "12 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Funnel join: every ``then_type`` event matched to the same user's
+    earlier ``first_type`` events within ``within`` —
+    (user_id, first_id, then_id, gap_s).
+
+    On a batch DataFrame this is a plain self-join. On a stream it is a
+    stream-stream inner join: both sides watermarked (default = the
+    ``within`` horizon) and the join condition time-ranged, which is what
+    lets Spark evict buffered rows older than watermark + interval —
+    the bounded-state contract stream-stream joins require.
+    """
+    wm = watermark or within
+    a = events.where(F.col("event_type") == first_type).select(
+        "user_id",
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"),
+    )
+    b = events.where(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_id").alias("then_id"),
+        F.col("ts").alias("then_ts"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("first_ts", wm)
+        b = b.withWatermark("then_ts", wm)
+    cond = (
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond).select(
+        "user_id",
+        "first_id",
+        "then_id",
+        (F.unix_timestamp("then_ts") - F.unix_timestamp("first_ts")).alias("gap_s"),
+    )

@@ -177,3 +177,44 @@ def test_catalog_streaming_entries_present():
     for name in ("ev_sessions", "ev_stream_tumbling", "ev_stream_dedup"):
         assert name in q
     assert "ev_sessions" in oracle_sql()
+
+
+def test_stream_sliding_counts_equals_batch(spark, tmp_path):
+    from bitcoinpagerank_spark.streaming import sliding_counts
+
+    src = _split_events(tmp_path, k=3)
+    stream = sliding_counts(read_event_stream(spark, str(src)))
+    got = materialize_stream(stream, _sink_name("slide_complete"), "complete")
+    want = sliding_counts(_batch_events(spark))
+    cols = ["window_start", "window_end", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # every event lands in duration/slide = 4 windows
+    n_events = _batch_events(spark).count()
+    assert want.agg({"n": "sum"}).first()[0] == 4 * n_events
+
+
+def test_stream_followup_join_equals_batch(spark, tmp_path):
+    from bitcoinpagerank_spark.streaming import followup_pairs
+
+    src = _split_events(tmp_path, k=3)
+    stream = followup_pairs(read_event_stream(spark, str(src), max_files_per_trigger=1))
+    got = materialize_stream(stream, _sink_name("followup"), "append")
+    want = followup_pairs(_batch_events(spark))
+    cols = ["user_id", "first_id", "then_id", "gap_s"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+    # python oracle: brute-force funnel over the raw events
+    evs = _batch_events(spark).select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    views = [(r["user_id"], r["event_id"], r["ts"]) for r in evs
+             if r["event_type"] == "view"]
+    buys = [(r["user_id"], r["event_id"], r["ts"]) for r in evs
+            if r["event_type"] == "purchase"]
+    wanted = sorted(
+        (u, fid, tid, int(bts.timestamp()) - int(fts.timestamp()))
+        for (u, fid, fts) in views
+        for (bu, tid, bts) in buys
+        if bu == u and fts < bts <= fts + dt.timedelta(hours=12)
+    )
+    assert _rows(got, cols) == wanted
