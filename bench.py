@@ -132,6 +132,11 @@ def main() -> None:
         "doc_lsh_pairs",
         "emb_ann_topk",
         "ev_tumbling_window",
+        # r3 breadth headliners
+        "g_scc",
+        "g_predicted_links",
+        "ev_sliding_window",
+        "rel_kmv_distinct",
     ]:
         timed(f"q_{name}", lambda n=name: cat[n](spark, sf_dir).count())
 

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bitcoinpagerank_spark")
     ap.add_argument("command", choices=[
         "etl", "pagerank", "components", "scc", "bfs", "walks",
-        "labelprop", "triangles", "topk",
+        "labelprop", "triangles", "topk", "ktruss", "harmonic", "linkpred",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bfs: comma-separated seed vertex ids")
     ap.add_argument("--walk-length", type=int, default=10)
     ap.add_argument("--walks-per-vertex", type=int, default=1)
+    ap.add_argument("--truss-k", type=int, default=3)
+    ap.add_argument("--min-common", type=int, default=2)
+    ap.add_argument("--max-pivot-degree", type=int, default=None,
+                    help="linkpred: drop shared-neighbor pivots above this "
+                         "degree before the wedge join (hub cap)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -176,6 +181,45 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{r['id']}\t{r['score']:.5f}")
         print(json.dumps({"k": args.k, "checksum": checksum(ranks)}),
               file=sys.stderr)
+        return 0
+
+    if args.command == "ktruss":
+        from .operators.ktruss import k_truss
+
+        res = k_truss(
+            spark, spark.read.parquet(args.input), k=args.truss_k,
+            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.output:
+            res.edges.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rounds": res.iterations,
+                          "converged": res.converged,
+                          "edges": res.edges.count()}))
+        return 0
+
+    if args.command == "harmonic":
+        from .operators.bfs import harmonic_centrality
+
+        seeds = [int(s) for s in args.sources.split(",") if s.strip()]
+        res = harmonic_centrality(
+            spark, spark.read.parquet(args.input), sources=seeds,
+            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.output:
+            res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"vertices": res.count(), "seeds": len(seeds)}))
+        return 0
+
+    if args.command == "linkpred":
+        from .operators.linkpred import predicted_links
+
+        res = predicted_links(
+            spark.read.parquet(args.input),
+            min_common=args.min_common,
+            max_pivot_degree=args.max_pivot_degree)
+        if args.output:
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"pairs": res.count(), "output": args.output}))
+        else:
+            print(json.dumps({"pairs": res.count()}))
         return 0
 
     return 1

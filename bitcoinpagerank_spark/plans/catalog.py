@@ -2080,3 +2080,138 @@ def q_ev_stream_followup(spark, sf_dir):
 
     stream = followup_pairs(read_event_stream(spark, f"{sf_dir}/events.parquet"))
     return materialize_stream(stream, _stream_sink("cat_followup"), "append")
+
+
+# --------------------------------------- host-level composition pipelines
+def _host_pr_sql(iters: int = 3) -> str:
+    """Weighted PageRank over the cross-host quotient graph (weight =
+    underlying page-edge count; intra-host links dropped — nav-link mass
+    must not self-boost a host)."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "hm AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS hid"
+        " FROM documents),",
+        """he AS (
+  SELECT s.hid AS src_id, d.hid AS dst_id, count(*) AS w
+  FROM edges e
+  JOIN hm s ON s.doc_id = e.src_id
+  JOIN hm d ON d.doc_id = e.dst_id
+  WHERE s.hid <> d.hid
+  GROUP BY 1, 2
+),""",
+        "hv AS (SELECT DISTINCT hid AS id FROM ("
+        "SELECT src_id AS hid FROM he UNION ALL SELECT dst_id FROM he)),",
+        "hn AS (SELECT count(*) AS cnt FROM hv),",
+        "sw AS (SELECT src_id, sum(w) AS tw FROM he GROUP BY 1),",
+        "r0 AS (SELECT id, 1.0/cnt AS score FROM hv, hn),",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i+1}"
+        parts.append(
+            f"""m{i} AS (
+  SELECT coalesce(sum(score), 0.0) AS miss FROM {prev}
+  WHERE id NOT IN (SELECT src_id FROM sw)
+),
+recv{i} AS (
+  SELECT e.dst_id AS id, sum(r.score * (e.w / sw.tw)) AS recv
+  FROM he e JOIN {prev} r ON e.src_id = r.id
+  JOIN sw ON e.src_id = sw.src_id
+  GROUP BY 1
+),
+{cur} AS (
+  SELECT v.id, 0.15/cnt + 0.85*(coalesce(recv, 0.0) + miss/cnt) AS score
+  FROM hv v CROSS JOIN hn CROSS JOIN m{i}
+  LEFT JOIN recv{i} rc ON v.id = rc.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id AS host_id, round(score, 9) AS score FROM r{iters}"
+
+
+@register("g_host_pagerank_iter3", _host_pr_sql(3))
+def q_host_pagerank_iter3(spark, sf_dir):
+    """End-to-end web composition: page edges → cross-host quotient graph
+    → weighted PageRank on hosts (the production shape of 'rank the
+    domains of a crawl')."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.substring("source", 4, 10).cast("long").alias("grp"),
+    )
+    he = E.quotient_graph(doc_edges(spark, sf_dir), docs, keep_internal=False)
+    host_edges = he.select(
+        F.col("src_grp").alias("src_id"),
+        F.col("dst_grp").alias("dst_id"),
+        F.col("weight").cast("double").alias("w"),
+    )
+    res = pagerank(spark, host_edges, tol=0.0, max_iter=3, weight_col="w")
+    return res.ranks.select(
+        F.col("id").alias("host_id"), F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "g_host_modularity",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    hm AS (SELECT doc_id, source FROM documents),
+    m AS (SELECT count(*) AS m FROM und),
+    ec AS (
+      SELECT hu.source AS host, count(*) AS e_in
+      FROM und JOIN hm hu ON hu.doc_id = und.u JOIN hm hv ON hv.doc_id = und.v
+      WHERE hu.source = hv.source GROUP BY 1
+    ),
+    sym AS (SELECT u AS a FROM und UNION ALL SELECT v FROM und),
+    deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY a),
+    dc AS (
+      SELECT hm.source AS host, sum(deg.deg) AS d_c
+      FROM deg JOIN hm ON hm.doc_id = deg.id GROUP BY 1
+    )
+    SELECT round(sum(coalesce(ec.e_in, 0) * 1.0 / m.m
+                     - (dc.d_c * 1.0 / (2 * m.m)) ^ 2), 6) AS modularity
+    FROM dc LEFT JOIN ec ON ec.host = dc.host CROSS JOIN m""",
+)
+def q_host_modularity(spark, sf_dir):
+    """Newman modularity of the host partition over the undirected page
+    graph — 'how much of the link mass stays on-host vs expected at
+    random' (1 row)."""
+    e = doc_edges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("source").alias("host")
+    )
+    und = (
+        E.undirected_view(e)
+        .where(F.col("src_id") < F.col("dst_id"))
+        .select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    )
+    mdf = und.agg(F.count(F.lit(1)).alias("m"))  # lazy 1-row, no driver job
+    ec = (
+        und.join(docs.select(F.col("id").alias("u"), F.col("host").alias("hu")), "u")
+        .join(docs.select(F.col("id").alias("v"), F.col("host").alias("hv")), "v")
+        .where(F.col("hu") == F.col("hv"))
+        .groupBy(F.col("hu").alias("host"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dc = (
+        deg.join(docs, "id")
+        .groupBy("host")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    q = dc.join(ec, "host", "left").crossJoin(F.broadcast(mdf)).agg(
+        F.round(
+            F.sum(
+                F.coalesce(F.col("e_in"), F.lit(0)) / F.col("m")
+                - F.pow(F.col("d_c") / (F.lit(2.0) * F.col("m")), 2)
+            ),
+            6,
+        ).alias("modularity")
+    )
+    return q

@@ -75,3 +75,19 @@ def test_cli_graph_breadth_commands(spark, tmp_path):
         "walks", "--input", path, "--walk-length", "3",
     ]))
     assert walks["steps"] == 5 * 4  # no dangling vertices: full walks
+
+
+def test_cli_r3_breadth_commands(spark, tmp_path):
+    """ktruss / harmonic / linkpred as real subprocesses."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (3, 4), (4, 5)]
+    path = str(tmp_path / "edges3")
+    edges_df(spark, edges).write.parquet(path)
+
+    kt = json.loads(_cli(["ktruss", "--input", path, "--truss-k", "3"]))
+    assert kt["converged"] is True and kt["edges"] > 0
+
+    hc = json.loads(_cli(["harmonic", "--input", path, "--sources", "1,2"]))
+    assert hc["vertices"] > 0 and hc["seeds"] == 2
+
+    lp = json.loads(_cli(["linkpred", "--input", path, "--min-common", "2"]))
+    assert lp["pairs"] >= 0
