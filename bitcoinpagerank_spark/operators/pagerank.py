@@ -609,3 +609,36 @@ def top_k(ranks: DataFrame, k: int = 100) -> DataFrame:
     Tie-break: equal scores → ascending id (TopScoredObjects.java:19-29).
     """
     return ranks.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def warm_start_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    prior_ranks: DataFrame,
+    **kwargs,
+) -> PageRankResult:
+    """Incremental PageRank for an EVOLVED graph (the daily-crawl path:
+    yesterday's converged scores + today's edge table).
+
+    The fixpoint does not depend on the starting vector, only the
+    iteration count does — so we project yesterday's scores onto today's
+    vertex set (new vertices start at 1/N, departed vertices drop out),
+    renormalize total mass to exactly 1 (the §2.12 invariant the loop's
+    checksum asserts), and hand the result to ``pagerank(start_ranks=…)``.
+    For small daily deltas this converges in a handful of iterations
+    instead of tens — the re-crawl cost becomes proportional to how much
+    the graph actually moved.
+    """
+    from .edges import vertices
+
+    verts = vertices(edges)
+    n = verts.count()
+    aligned = (
+        verts.join(
+            prior_ranks.select("id", F.col("score").alias("prior")), "id", "left"
+        )
+        .select("id", F.coalesce(F.col("prior"), F.lit(1.0 / n)).alias("score"))
+    )
+    total = aligned.agg(F.sum("score")).collect()[0][0]
+    start = aligned.select("id", (F.col("score") / F.lit(float(total))).alias("score"))
+    return pagerank(spark, edges, start_ranks=start, **kwargs)

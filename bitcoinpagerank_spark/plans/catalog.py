@@ -2215,3 +2215,34 @@ def q_host_modularity(spark, sf_dir):
         ).alias("modularity")
     )
     return q
+
+
+@register(
+    "g_host_top_pages",
+    f"""WITH pr AS ({_pagerank_iter_sql(3)}),
+    hm AS (SELECT doc_id, source FROM documents),
+    ranked AS (
+      SELECT hm.source AS host, pr.id, pr.score,
+             row_number() OVER (PARTITION BY hm.source
+                                ORDER BY pr.score DESC, pr.id) AS rn
+      FROM pr JOIN hm ON hm.doc_id = pr.id
+    )
+    SELECT host, id, score, rn FROM ranked WHERE rn <= 3""",
+)
+def q_host_top_pages(spark, sf_dir):
+    """Top-3 pages per host by PageRank — the window-rank composition a
+    crawl dashboard serves ('best page on each domain'); ties broken by
+    id so the rank is a total order on both engines."""
+    e = doc_edges(spark, sf_dir)
+    res = pagerank(spark, e, tol=0.0, max_iter=3)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("source").alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        res.ranks.select("id", F.round("score", 9).alias("score"))
+        .join(docs, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("host", "id", "score", "rn")
+    )
