@@ -2246,3 +2246,69 @@ def q_host_top_pages(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("host", "id", "score", "rn")
     )
+
+
+# ------------------------------------------------- betweenness centrality
+def _betweenness_sql(levels: int = 6) -> str:
+    """Unrolled two-phase Brandes from the id%100=1 seed sample, truncated
+    at ``levels`` BFS rounds (fixed-depth semantics keep it
+    SQL-unrollable; the untruncated operator is pytest-oracled against
+    sequential Brandes). Every per-level CTE is MATERIALIZED — DuckDB
+    inlines CTEs by default and the chained references would otherwise
+    expand exponentially."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "em AS MATERIALIZED (SELECT src_id, dst_id FROM edges),",
+        "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 1),",
+        "l0 AS MATERIALIZED (SELECT id AS src, id, 1.0 AS sigma FROM seeds),",
+        "vis0 AS MATERIALIZED (SELECT src, id FROM l0),",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.src, e.dst_id AS id, sum(l.sigma) AS sigma
+  FROM l{i-1} l JOIN em e ON e.src_id = l.id
+  WHERE NOT EXISTS (SELECT 1 FROM vis{i-1} v
+                    WHERE v.src = l.src AND v.id = e.dst_id)
+  GROUP BY 1, 2
+),
+vis{i} AS MATERIALIZED (SELECT src, id FROM vis{i-1}
+           UNION ALL SELECT src, id FROM l{i}),"""
+        )
+    parts.append(
+        f"dl{levels} AS MATERIALIZED "
+        f"(SELECT src, id, sigma, 0.0 AS delta FROM l{levels}),"
+    )
+    for L in range(levels - 1, 0, -1):
+        parts.append(
+            f"""dl{L} AS MATERIALIZED (
+  SELECT l.src, l.id, l.sigma,
+         coalesce(sum(l.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta
+  FROM l{L} l
+  LEFT JOIN em e ON e.src_id = l.id
+  LEFT JOIN dl{L+1} w ON w.src = l.src AND w.id = e.dst_id
+  GROUP BY l.src, l.id, l.sigma
+),"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, delta FROM dl{L}" for L in range(1, levels + 1)
+    )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return (
+        body
+        + f"\nSELECT id, round(sum(delta), 6) AS betweenness"
+        + f" FROM ({union}) GROUP BY id"
+    )
+
+
+@register("g_betweenness_l6", _betweenness_sql(6))
+def q_betweenness_l6(spark, sf_dir):
+    """Sampled Brandes betweenness (seeds id%100=1), forward BFS
+    truncated at 6 levels on both engines."""
+    from ..operators.betweenness import betweenness_centrality
+    from ..operators.edges import vertices
+
+    e = doc_edges(spark, sf_dir)
+    seeds = vertices(e).where(F.col("id") % 100 == 1)
+    res = betweenness_centrality(spark, e, seeds, max_iter=6)
+    return res.scores.select("id", F.round("betweenness", 6).alias("betweenness"))
