@@ -2312,3 +2312,62 @@ def q_betweenness_l6(spark, sf_dir):
     seeds = vertices(e).where(F.col("id") % 100 == 1)
     res = betweenness_centrality(spark, e, seeds, max_iter=6)
     return res.scores.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+# ------------------------------------------------ sampling / distribution
+@register(
+    "g_degree_percentiles",
+    f"""WITH {EDGES_CTE},
+    od AS (SELECT src_id, count(*) AS deg FROM edges GROUP BY src_id),
+    vd AS (
+      SELECT v.id, coalesce(od.deg, 0) AS out_degree
+      FROM verts v LEFT JOIN od ON od.src_id = v.id
+    )
+    SELECT round(quantile_cont(out_degree, 0.5), 6) AS p50,
+           round(quantile_cont(out_degree, 0.9), 6) AS p90,
+           round(quantile_cont(out_degree, 0.99), 6) AS p99,
+           round(avg(out_degree), 6) AS mean_deg,
+           max(out_degree) AS max_deg
+    FROM vd""",
+)
+def q_degree_percentiles(spark, sf_dir):
+    """Out-degree distribution summary (zero-degree sinks included):
+    exact interpolated percentiles — Spark's percentile() and DuckDB's
+    quantile_cont share the linear-interpolation definition."""
+    e = doc_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    od = e.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+    vd = verts.join(od, verts["id"] == od["src_id"], "left").select(
+        F.coalesce(F.col("deg"), F.lit(0)).alias("out_degree")
+    )
+    return vd.agg(
+        F.round(F.percentile("out_degree", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("out_degree", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("out_degree", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.avg("out_degree"), 6).alias("mean_deg"),
+        F.max("out_degree").alias("max_deg"),
+    )
+
+
+@register(
+    "g_edge_sample",
+    f"""WITH {EDGES_CTE}
+    SELECT src_id, dst_id FROM edges
+    WHERE (src_id * {KMV_A} + dst_id * 22695477 + 12345) % 100 < 10""",
+)
+def q_edge_sample(spark, sf_dir):
+    """Deterministic ~10% Bernoulli edge sample via an LCG of the edge
+    key — reproducible across engines and runs (the sampling primitive
+    subgraph experiments hang off; rand()-based sampling would never
+    oracle-match)."""
+    e = doc_edges(spark, sf_dir)
+    h = (
+        F.col("src_id") * F.lit(KMV_A)
+        + F.col("dst_id") * F.lit(22695477)
+        + F.lit(12345)
+    ) % 100
+    return e.where(h < 10)

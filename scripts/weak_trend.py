@@ -75,7 +75,21 @@ def main() -> None:
         out["points"].append(point)
         print(json.dumps({k: v for k, v in point.items() if k != "raw"}),
               flush=True)
-    (REPO / "BENCH_WEAK_TREND.json").write_text(json.dumps(out, indent=1))
+    # merge with any prior trend file: a re-run of one vpc point replaces
+    # that point and keeps the others (points are keyed by vertices/core)
+    path = REPO / "BENCH_WEAK_TREND.json"
+    if path.exists():
+        prior = json.loads(path.read_text())
+        if prior.get("core_levels") == out["core_levels"]:
+            new_vpcs = {p["vertices_per_core"] for p in out["points"]}
+            kept = [
+                p for p in prior.get("points", [])
+                if p["vertices_per_core"] not in new_vpcs
+            ]
+            out["points"] = sorted(
+                kept + out["points"], key=lambda p: p["vertices_per_core"]
+            )
+    path.write_text(json.dumps(out, indent=1))
     print("WROTE BENCH_WEAK_TREND.json")
 
 
