@@ -2371,3 +2371,39 @@ def q_edge_sample(spark, sf_dir):
         + F.lit(12345)
     ) % 100
     return e.where(h < 10)
+
+
+# ------------------------------------------- neighbor feature aggregation
+_NFM_DIMS = 16
+
+
+def _nfm_sql(dims: int = _NFM_DIMS) -> str:
+    comps = ",\n           ".join(
+        f"round(sum(f.embedding[{i+1}]) / count(*), 6) AS m{i+1}"
+        for i in range(dims)
+    )
+    return f"""WITH {EDGES_CTE}
+    SELECT e.dst_id AS id, count(*) AS n_nbrs,
+           {comps}
+    FROM edges e JOIN embeddings f ON f.vec_id = e.src_id
+    GROUP BY e.dst_id"""
+
+
+@register("emb_neighbor_mean", _nfm_sql())
+def q_emb_neighbor_mean(spark, sf_dir):
+    """GraphSAGE-mean aggregation of in-neighbor embeddings over the doc
+    graph (first 16 components as columns — floats column-compare more
+    robustly than serialized arrays)."""
+    from ..operators.graphagg import neighbor_feature_mean
+
+    e = doc_edges(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    res = neighbor_feature_mean(e, emb, dim=_NFM_DIMS, direction="in")
+    return res.select(
+        "id",
+        "n_nbrs",
+        *[
+            F.round(F.element_at("nbr_mean", i + 1), 6).alias(f"m{i+1}")
+            for i in range(_NFM_DIMS)
+        ],
+    )
