@@ -115,3 +115,116 @@ def random_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return WalkResult(out, walk_length, walks_per_vertex)
+
+
+def biased_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 4,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 4,
+    num_partitions: int | None = None,
+) -> WalkResult:
+    """node2vec-style second-order walks, deterministically pseudo-random.
+
+    At each step the next hop is drawn from the current vertex's
+    out-neighbors with INTEGER weights by their relation to the previous
+    vertex: ``w_return`` for going back (node2vec 1/p), ``w_common`` for
+    neighbors the previous vertex also links to (distance-1), ``w_far``
+    for the rest (1/q) — integer weights keep the cumulative-sum draw
+    exact int64 arithmetic, so the DuckDB oracle replays identical
+    walks. Step 1 has no previous vertex and is the uniform first-order
+    choice.
+
+    Unlike the first-order walk (indexed O(1) choice per step), the
+    biased step must ENUMERATE the frontier vertex's neighbors to weight
+    them (as every node2vec implementation does): per step that is one
+    adjacency fan-out join + a (prev, candidate)∈E membership join + two
+    walk-partitioned window sums — all Catalyst, no Python, state one
+    row per (walk, neighbor-candidate) within the step.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if min(w_return, w_common, w_far) < 0 or max(w_return, w_common, w_far) == 0:
+        raise ValueError("weights must be non-negative and not all zero")
+    if num_partitions is None:
+        from .edges import auto_partitions
+
+        num_partitions = auto_partitions(spark, edges.count())
+
+    adj = indexed_adjacency(edges).repartition(num_partitions, SRC)
+    adj = adj.localCheckpoint(eager=True)
+    deg = (
+        adj.groupBy(F.col(SRC).alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    ).localCheckpoint(eager=True)
+    epairs = adj.select(F.col(SRC).alias("p_src"), F.col(DST).alias("p_dst"))
+
+    verts = (
+        adj.select(F.col(SRC).alias("id"))
+        .unionByName(adj.select(F.col(DST).alias("id")))
+        .distinct()
+    )
+    starts = (
+        verts.select(F.col("id").alias("walk_id"), F.col("id").alias("pos"))
+        # cut lineage back to adj: the step-1 join below re-joins adj, and
+        # a shared scan would make adj's columns ambiguous (self-join)
+        .localCheckpoint(eager=True)
+    )
+    frames = [starts.select("walk_id", F.lit(0).alias("step"), "pos")]
+
+    # step 1: uniform indexed choice (no prev)
+    first = (
+        starts.join(deg, starts["pos"] == deg["v"], "inner")
+        .select(
+            "walk_id",
+            "pos",
+            F.pmod(_step_hash(F.col("walk_id"), 1), F.col("deg")).alias("choice"),
+        )
+    )
+    frontier = (
+        first.join(
+            adj,
+            (first["pos"] == adj[SRC]) & (first["choice"] == adj["idx"]),
+            "inner",
+        )
+        .select("walk_id", first["pos"].alias("prev"), adj[DST].alias("pos"))
+        .localCheckpoint(eager=True)
+    )
+    frames.append(frontier.select("walk_id", F.lit(1).alias("step"), "pos"))
+
+    for step in range(2, walk_length + 1):
+        cand = frontier.join(adj, frontier["pos"] == adj[SRC], "inner").select(
+            "walk_id", "prev", frontier["pos"].alias("cur"),
+            adj["idx"].alias("idx"), adj[DST].alias("nxt"),
+        )
+        cand = cand.join(
+            epairs,
+            (cand["prev"] == epairs["p_src"]) & (cand["nxt"] == epairs["p_dst"]),
+            "left",
+        ).select(
+            "walk_id", "prev", "cur", "idx", "nxt",
+            F.when(F.col("nxt") == F.col("prev"), F.lit(w_return))
+            .when(F.col("p_src").isNotNull(), F.lit(w_common))
+            .otherwise(F.lit(w_far))
+            .alias("w"),
+        )
+        wo = Window.partitionBy("walk_id").orderBy("idx")
+        wt = Window.partitionBy("walk_id")
+        cand = (
+            cand.withColumn("cum", F.sum("w").over(wo) - F.col("w"))
+            .withColumn("tot", F.sum("w").over(wt))
+            .withColumn(
+                "r", F.pmod(_step_hash(F.col("walk_id"), step), F.col("tot"))
+            )
+        )
+        nxt = cand.where(
+            (F.col("cum") <= F.col("r")) & (F.col("r") < F.col("cum") + F.col("w"))
+        ).select("walk_id", F.col("cur").alias("prev"), F.col("nxt").alias("pos"))
+        frontier = nxt.localCheckpoint(eager=True)
+        frames.append(frontier.select("walk_id", F.lit(step).alias("step"), "pos"))
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return WalkResult(out, walk_length, 1)

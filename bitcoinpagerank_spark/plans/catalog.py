@@ -2407,3 +2407,82 @@ def q_emb_neighbor_mean(spark, sf_dir):
             for i in range(_NFM_DIMS)
         ],
     )
+
+
+# ------------------------------------------------------ node2vec walks
+def _biased_walk_sql(
+    walk_length: int, w_return: int, w_common: int, w_far: int
+) -> str:
+    """Unrolled replay of biased_walks: step 1 is the uniform indexed
+    choice; steps >= 2 weight each out-neighbor by its relation to the
+    previous vertex and draw via exclusive-prefix-sum + LCG mod total.
+    Per-step CTEs MATERIALIZED (DuckDB inlines CTEs; the chained
+    references would expand exponentially)."""
+    from ..operators.walks import LCG_A, LCG_B, LCG_C
+
+    ctes = [
+        """adj AS MATERIALIZED (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id ORDER BY dst_id) - 1 AS idx
+      FROM edges
+    )""",
+        "wdeg AS MATERIALIZED "
+        "(SELECT src_id AS v, count(*) AS deg FROM adj GROUP BY src_id)",
+        "b0 AS MATERIALIZED (SELECT id AS walk_id, id AS pos FROM verts)",
+        f"""b1 AS MATERIALIZED (
+      SELECT p.walk_id, p.pos AS prev, a.dst_id AS pos
+      FROM b0 p
+      JOIN wdeg d ON d.v = p.pos
+      JOIN adj a ON a.src_id = p.pos
+       AND a.idx = (p.walk_id * {LCG_A} + {1 * LCG_B + LCG_C}) % d.deg
+    )""",
+    ]
+    selects = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, pos FROM b0",
+        "SELECT walk_id, 1, pos FROM b1",
+    ]
+    for s in range(2, walk_length + 1):
+        ctes.append(
+            f"""c{s} AS MATERIALIZED (
+      SELECT f.walk_id, f.prev, f.pos AS cur, a.idx, a.dst_id AS nxt,
+             CASE WHEN a.dst_id = f.prev THEN {w_return}
+                  WHEN EXISTS (SELECT 1 FROM adj e
+                               WHERE e.src_id = f.prev
+                                 AND e.dst_id = a.dst_id) THEN {w_common}
+                  ELSE {w_far} END AS w
+      FROM b{s-1} f JOIN adj a ON a.src_id = f.pos
+    )""")
+        ctes.append(
+            f"""b{s} AS MATERIALIZED (
+      SELECT walk_id, cur AS prev, nxt AS pos FROM (
+        SELECT walk_id, cur, nxt, w,
+               sum(w) OVER (PARTITION BY walk_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) - w AS cum,
+               sum(w) OVER (PARTITION BY walk_id) AS tot
+        FROM c{s}
+      )
+      WHERE cum <= (walk_id * {LCG_A} + {s * LCG_B + LCG_C}) % tot
+        AND (walk_id * {LCG_A} + {s * LCG_B + LCG_C}) % tot < cum + w
+    )""")
+        selects.append(f"SELECT walk_id, {s}, pos FROM b{s}")
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "g_biased_walks",
+    f"""WITH {EDGES_CTE},
+    {_biased_walk_sql(3, 1, 2, 4)}""",
+)
+def q_biased_walks(spark, sf_dir):
+    """node2vec-style second-order walks (weights 1/2/4 for
+    return/common/far), length 3, one walk per vertex; the oracle replays
+    the exact same integer draw."""
+    from ..operators.walks import biased_walks
+
+    res = biased_walks(
+        spark, doc_edges(spark, sf_dir), walk_length=3,
+        w_return=1, w_common=2, w_far=4,
+    )
+    return res.steps.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "pos"
+    )

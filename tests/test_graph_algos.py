@@ -354,3 +354,70 @@ def test_random_walks_replay_oracle(spark):
     # walks from 5 are length 0; walks reaching 5 stop there
     steps_from_5 = [t for t in got if t[0] // W == 5]
     assert all(t[1] == 0 for t in steps_from_5)
+
+
+def test_biased_walks_python_replay(spark):
+    """biased_walks replayed exactly in python (second-order weights:
+    return=1, common=2, far=4), plus a semantic check that the bias
+    actually changes the trajectory vs the first-order walk."""
+    from bitcoinpagerank_spark.operators.walks import (
+        LCG_A,
+        LCG_B,
+        LCG_C,
+        biased_walks,
+        random_walks,
+    )
+
+    edges = sorted(
+        {((i * 7 + 3) % 40, (i * 13 + 5) % 40) for i in range(200)}
+        | {(0, j) for j in range(1, 12)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    W_RET, W_COM, W_FAR = 1, 2, 4
+
+    def replay(walk_id, length=3):
+        out = [(walk_id, 0, walk_id)]
+        pos = walk_id
+        prev = None
+        for step in range(1, length + 1):
+            nbrs = adj.get(pos)
+            if not nbrs:
+                break
+            if prev is None:
+                nxt = nbrs[(walk_id * LCG_A + step * LCG_B + LCG_C) % len(nbrs)]
+            else:
+                ws = [
+                    W_RET if n == prev
+                    else W_COM if n in adj.get(prev, ())
+                    else W_FAR
+                    for n in nbrs
+                ]
+                r = (walk_id * LCG_A + step * LCG_B + LCG_C) % sum(ws)
+                cum = 0
+                for n, w in zip(nbrs, ws):
+                    if cum <= r < cum + w:
+                        nxt = n
+                        break
+                    cum += w
+            out.append((walk_id, step, nxt))
+            prev, pos = pos, nxt
+        return out
+
+    res = biased_walks(spark, edges_df(spark, edges), walk_length=3,
+                       w_return=W_RET, w_common=W_COM, w_far=W_FAR)
+    got = sorted(tuple(r) for r in res.steps.collect())
+    verts = sorted(set(adj) | {d for ds in adj.values() for d in ds})
+    want = sorted(t for v in verts for t in replay(v))
+    assert got == want
+
+    uniform = random_walks(spark, edges_df(spark, edges), walk_length=3)
+    assert sorted(tuple(r) for r in uniform.steps.collect()) != got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        biased_walks(spark, edges_df(spark, edges), walk_length=3,
+                     w_return=0, w_common=0, w_far=0)
