@@ -228,3 +228,28 @@ def biased_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return WalkResult(out, walk_length, 1)
+
+
+def skipgram_pairs(steps: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, offset) training pairs from a walk corpus — the
+    word2vec/node2vec skip-gram extraction: for every walk, each pair of
+    positions at step distance 1..``window`` (both directions, signed
+    ``offset``). One self-equi-join on walk_id with a banded step
+    predicate; pairs per walk = O(length·window), independent of graph
+    degree."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = steps.select("walk_id", F.col("step").alias("a_step"), F.col("pos").alias("center"))
+    b = steps.select("walk_id", F.col("step").alias("b_step"), F.col("pos").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("b_step") != F.col("a_step"))
+            & (F.abs(F.col("b_step") - F.col("a_step")) <= window)
+        )
+        .select(
+            "center",
+            "context",
+            (F.col("b_step") - F.col("a_step")).cast("long").alias("offset"),
+        )
+    )

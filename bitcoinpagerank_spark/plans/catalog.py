@@ -2486,3 +2486,61 @@ def q_biased_walks(spark, sf_dir):
     return res.steps.select(
         "walk_id", F.col("step").cast("long").alias("step"), "pos"
     )
+
+
+def _skipgram_oracle_sql(walk_length: int = 3, window: int = 2) -> str:
+    """Walk corpus (MATERIALIZED replay of random_walks) -> skip-gram
+    pair counts."""
+    from ..operators.walks import LCG_A, LCG_B, LCG_C
+
+    ctes = [
+        """adj AS MATERIALIZED (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id ORDER BY dst_id) - 1 AS idx
+      FROM edges
+    )""",
+        "wdeg AS MATERIALIZED "
+        "(SELECT src_id AS v, count(*) AS deg FROM adj GROUP BY src_id)",
+        "s0 AS MATERIALIZED (SELECT id AS walk_id, id AS pos FROM verts)",
+    ]
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, pos FROM s0"]
+    for s in range(1, walk_length + 1):
+        ctes.append(
+            f"""s{s} AS MATERIALIZED (
+      SELECT p.walk_id, a.dst_id AS pos
+      FROM s{s-1} p
+      JOIN wdeg d ON d.v = p.pos
+      JOIN adj a ON a.src_id = p.pos
+       AND a.idx = (p.walk_id * {LCG_A} + {s * LCG_B + LCG_C}) % d.deg
+    )"""
+        )
+        selects.append(f"SELECT walk_id, {s}, pos FROM s{s}")
+    corpus = "\n      UNION ALL ".join(selects)
+    return (
+        f"WITH {EDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+    corpus AS MATERIALIZED (
+      {corpus}
+    )
+    SELECT a.pos AS center, b.pos AS context,
+           b.step - a.step AS "offset", count(*) AS n
+    FROM corpus a JOIN corpus b
+      ON b.walk_id = a.walk_id AND b.step <> a.step
+     AND abs(b.step - a.step) <= {window}
+    GROUP BY 1, 2, 3"""
+    )
+
+
+@register("g_skipgram_pairs", _skipgram_oracle_sql(3, 2))
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, offset) counts from the length-3
+    deterministic walk corpus, window 2 — the tensor-input extraction at
+    the end of the embedding pipeline."""
+    from ..operators.walks import random_walks, skipgram_pairs
+
+    res = random_walks(spark, doc_edges(spark, sf_dir), walk_length=3)
+    pairs = skipgram_pairs(res.steps, window=2)
+    return pairs.groupBy("center", "context", "offset").agg(
+        F.count(F.lit(1)).alias("n")
+    )
