@@ -150,3 +150,18 @@ class TableStore:
     def read_manifest(self) -> dict | None:
         text = self._read_text(self.manifest_path())
         return None if text is None else json.loads(text)
+
+    def append_table(self, df: DataFrame, name: str) -> str:
+        """Append ``df`` to the table (micro-batch sink path); creates it
+        on first write. Iceberg: a real append commit; parquet: an
+        append-mode write (new files only — safe under the Hadoop FS
+        committer)."""
+        loc = self.table_path(name)
+        if self.backend == "iceberg":
+            try:
+                df.writeTo(loc).using("iceberg").append()
+            except Exception:
+                df.writeTo(loc).using("iceberg").createOrReplace()
+        else:
+            df.write.mode("append").parquet(loc)
+        return loc

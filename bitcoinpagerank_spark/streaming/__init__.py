@@ -8,6 +8,7 @@ custom stateful operator (sessionize_stateful) for the semantics the
 built-in operators can't express incrementally.
 """
 
+from .sink import stream_to_tablestore
 from .events import (
     EVENT_SCHEMA,
     dedup_stream,
@@ -30,4 +31,5 @@ __all__ = [
     "sessionize_stateful",
     "sliding_counts",
     "windowed_counts",
+    "stream_to_tablestore",
 ]

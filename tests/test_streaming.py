@@ -218,3 +218,49 @@ def test_stream_followup_join_equals_batch(spark, tmp_path):
         if bu == u and fts < bts <= fts + dt.timedelta(hours=12)
     )
     assert _rows(got, cols) == wanted
+
+
+def test_stream_to_tablestore_exactly_once(spark, tmp_path):
+    from bitcoinpagerank_spark.sources.tablestore import TableStore
+    from bitcoinpagerank_spark.streaming import (
+        read_event_stream,
+        stream_to_tablestore,
+    )
+
+    src = _split_events(tmp_path, k=3)
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    manifest = stream_to_tablestore(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        store, "events_sink", ckpt,
+    )
+    n_src = _batch_events(spark).count()
+    assert len(manifest["batches"]) == 3
+    assert sum(b["rows"] for b in manifest["batches"]) == n_src
+    table = store.read_table(store.table_path("events_sink"))
+    assert table.count() == n_src
+
+    # restart over the same checkpoint: no new data -> no new batches
+    manifest2 = stream_to_tablestore(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        store, "events_sink", ckpt,
+    )
+    assert manifest2 == manifest
+    assert store.read_table(store.table_path("events_sink")).count() == n_src
+
+    # a NEW run (fresh checkpoint) against the same table starts again
+    # at batch_id 0 — the (run, batch_id) guard must let it append
+    # instead of swallowing it
+    before = store.read_table(store.table_path("events_sink")).count()
+    d2 = tmp_path / "events_one"
+    d2.mkdir()
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF_DIR}/events.parquet").slice(0, 10)
+    pq.write_table(t, d2 / "part-000.parquet")
+    manifest3 = stream_to_tablestore(
+        read_event_stream(spark, str(d2)), store, "events_sink",
+        str(tmp_path / "ckpt2"),
+    )
+    assert len(manifest3["batches"]) == len(manifest["batches"]) + 1
+    assert store.read_table(store.table_path("events_sink")).count() == before + 10
