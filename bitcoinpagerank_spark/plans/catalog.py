@@ -490,6 +490,118 @@ def q_hits_iter2(spark, sf_dir):
     )
 
 
+def _katz_iter_sql(iters: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled Katz fixed point: c' = beta + alpha * A^T c, c0 = beta."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        f"c0 AS (SELECT id, CAST({beta} AS DOUBLE) AS score FROM verts),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""krecv{i} AS (
+  SELECT e.dst_id AS id, sum(c.score) AS recv
+  FROM edges e JOIN c{i-1} c ON e.src_id = c.id GROUP BY 1
+),
+c{i} AS (
+  SELECT v.id, CAST({beta} AS DOUBLE) + {alpha} * coalesce(recv, 0.0) AS score
+  FROM verts v LEFT JOIN krecv{i} r ON v.id = r.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id, round(score, 9) AS score FROM c{iters}"
+
+
+@register("g_katz_iter3", _katz_iter_sql(3))
+def q_katz_iter3(spark, sf_dir):
+    """Katz centrality (alpha=0.05, beta=1), 3 fixed iterations."""
+    from ..operators.centrality import katz_centrality
+
+    res = katz_centrality(spark, doc_edges(spark, sf_dir), max_iter=3)
+    return res.scores.select("id", F.round("score", 9).alias("score"))
+
+
+def _eigen_iter_sql(iters: int = 3) -> str:
+    """Unrolled L1-normalized power iteration on A^T."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "x0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""xraw{i} AS (
+  SELECT e.dst_id AS id, sum(x.score) AS raw
+  FROM edges e JOIN x{i-1} x ON e.src_id = x.id GROUP BY 1
+),
+xs{i} AS (SELECT sum(raw) AS s FROM xraw{i}),
+x{i} AS (
+  SELECT v.id, coalesce(raw, 0.0) / s AS score
+  FROM verts v CROSS JOIN xs{i} LEFT JOIN xraw{i} r ON v.id = r.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id, round(score, 9) AS score FROM x{iters}"
+
+
+@register("g_eigenvector_iter3", _eigen_iter_sql(3))
+def q_eigenvector_iter3(spark, sf_dir):
+    """Eigenvector centrality: 3 L1-normalized power-iteration steps."""
+    from ..operators.centrality import eigenvector_centrality
+
+    res = eigenvector_centrality(spark, doc_edges(spark, sf_dir), max_iter=3)
+    return res.scores.select("id", F.round("score", 9).alias("score"))
+
+
+def _salsa_iter_sql(iters: int = 2) -> str:
+    """Unrolled SALSA: HITS over the degree-stochastic adjacency."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "sod AS (SELECT src_id, count(*) AS d FROM edges GROUP BY 1),",
+        "sind AS (SELECT dst_id, count(*) AS d FROM edges GROUP BY 1),",
+        "sh0 AS (SELECT id, 1.0/cnt AS score FROM verts, n),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""saraw{i} AS (
+  SELECT e.dst_id AS id, sum(h.score / sod.d) AS raw
+  FROM edges e JOIN sh{i-1} h ON e.src_id = h.id
+  JOIN sod ON e.src_id = sod.src_id GROUP BY 1
+),
+sas{i} AS (SELECT sum(raw) AS s FROM saraw{i}),
+sa{i} AS (
+  SELECT v.id, coalesce(raw, 0.0) / s AS score
+  FROM verts v CROSS JOIN sas{i} LEFT JOIN saraw{i} ar ON v.id = ar.id
+),
+shraw{i} AS (
+  SELECT e.src_id AS id, sum(a.score / sind.d) AS raw
+  FROM edges e JOIN sa{i} a ON e.dst_id = a.id
+  JOIN sind ON e.dst_id = sind.dst_id GROUP BY 1
+),
+shs{i} AS (SELECT sum(raw) AS s FROM shraw{i}),
+sh{i} AS (
+  SELECT v.id, coalesce(raw, 0.0) / s AS score
+  FROM verts v CROSS JOIN shs{i} LEFT JOIN shraw{i} hr ON v.id = hr.id
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + (
+        f"\nSELECT h.id, round(h.score, 9) AS hub,"
+        f" round(a.score, 9) AS authority"
+        f"\nFROM sh{iters} h JOIN sa{iters} a ON h.id = a.id"
+    )
+
+
+@register("g_salsa_iter2", _salsa_iter_sql(2))
+def q_salsa_iter2(spark, sf_dir):
+    """SALSA hubs/authorities over the stochastic adjacency, 2 iterations."""
+    from ..operators.centrality import salsa
+
+    res = salsa(spark, doc_edges(spark, sf_dir), max_iter=2)
+    return res.scores.select(
+        "id", F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
 @register(
     "g_triangles_per_vertex",
     f"""WITH {EDGES_CTE},
