@@ -187,6 +187,39 @@ def quotient_graph(
     return q.groupBy("src_grp", "dst_grp").agg(F.count(F.lit(1)).alias("weight"))
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row (reciprocal_edges, total_edges, reciprocity) over the
+    directed simple graph: the fraction of edges u→v whose reverse v→u
+    also exists. High reciprocity distinguishes social/link-exchange
+    subgraphs from the mostly one-way citation shape of a web crawl.
+
+    Plan: one self-join on the reversed key + one 1-row aggregate.
+    The reverse side of a deduplicated simple graph is itself distinct,
+    so the left join cannot fan out — |join| == |E| exactly, and the
+    join keys are the edge pair itself (fixed-width, skew-free)."""
+    e = dedup_edges(edges)
+    rev = e.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.lit(1).alias("has_rev")
+    )
+    return (
+        e.join(rev, [SRC, DST], "left")
+        .agg(
+            F.sum(F.coalesce("has_rev", F.lit(0))).alias("reciprocal_edges"),
+            F.count(F.lit(1)).alias("total_edges"),
+        )
+        .select(
+            "reciprocal_edges",
+            "total_edges",
+            F.when(
+                F.col("total_edges") > 0,
+                F.col("reciprocal_edges").cast("double") / F.col("total_edges"),
+            )
+            .otherwise(0.0)
+            .alias("reciprocity"),
+        )
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """1-row (assortativity) — Pearson correlation of the undirected
     degrees at the two endpoints of each edge, over the symmetric view so

@@ -72,6 +72,43 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return per_vertex
 
 
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """Single-row (n_triangles, n_wedges, transitivity) where
+    transitivity = 3*T / W, W = Σ_v deg(v)·(deg(v)−1)/2 over the
+    undirected simple graph (0.0 when the graph has no wedges).
+
+    One lazy plan: the degree aggregate (wedge count) and the oriented
+    triangle count are each 1-row aggregates cross-joined at the end —
+    no driver-side action inside the operator, so it composes into
+    larger plans and both sides reuse the same shuffle-free scan of the
+    (persisted-by-caller) edge table."""
+    und = undirected_view(edges)
+    wedges = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges"))
+        .select(F.col("n_wedges").cast("long").alias("n_wedges"))
+    )
+    o = oriented_edges(edges)
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(o.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            3.0 * F.col("n_triangles") / F.col("n_wedges"),
+        )
+        .otherwise(0.0)
+        .alias("transitivity"),
+    )
+
+
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(id, deg, triangles, lcc) over the undirected simple graph:
     lcc = 2*T(v) / (deg(v) * (deg(v)-1)), 0 for deg < 2.

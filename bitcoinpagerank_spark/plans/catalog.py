@@ -1959,6 +1959,62 @@ def q_assortativity(spark, sf_dir):
     return res.select(F.round("assortativity", 6).alias("assortativity"))
 
 
+@register(
+    "g_reciprocity",
+    f"""WITH {EDGES_CTE},
+    marked AS (
+      SELECT CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS has_rev
+      FROM edges e LEFT JOIN edges r
+        ON e.src_id = r.dst_id AND e.dst_id = r.src_id
+    )
+    SELECT sum(has_rev) AS reciprocal_edges,
+           count(*) AS total_edges,
+           round(CAST(sum(has_rev) AS DOUBLE) / count(*), 9) AS reciprocity
+    FROM marked""",
+)
+def q_reciprocity(spark, sf_dir):
+    """Edge reciprocity (1 row): fraction of directed edges whose reverse
+    edge exists."""
+    res = E.reciprocity(doc_edges(spark, sf_dir))
+    return res.select(
+        "reciprocal_edges", "total_edges",
+        F.round("reciprocity", 9).alias("reciprocity"),
+    )
+
+
+@register(
+    "g_transitivity",
+    f"""WITH {EDGES_CTE},
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+    wc AS (
+      SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+      FROM (SELECT a AS id, count(*) AS deg FROM sym GROUP BY a)
+    ),
+    tc AS (
+      SELECT count(*) AS n_triangles FROM und e1
+      JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT n_triangles, n_wedges,
+           round(CASE WHEN n_wedges > 0
+                 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 9)
+             AS transitivity
+    FROM tc, wc""",
+)
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient (1 row): 3·triangles / wedges."""
+    from ..operators.triangles import global_transitivity
+
+    res = global_transitivity(doc_edges(spark, sf_dir))
+    return res.select(
+        "n_triangles", "n_wedges", F.round("transitivity", 9).alias("transitivity")
+    )
+
+
 # ----------------------------------------------------- k-truss / harmonic
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled support-peel rounds over the canonical u<v edge set; the

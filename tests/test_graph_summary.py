@@ -1,0 +1,42 @@
+"""Reciprocity and global transitivity on hand graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from bitcoinpagerank_spark.operators.edges import reciprocity
+from bitcoinpagerank_spark.operators.triangles import global_transitivity
+from tests.conftest import G_CYCLE, G_LINE, G_TRI, edges_df
+
+
+@pytest.mark.parametrize(
+    "edges,want_recip,want_total",
+    [
+        (G_TRI, 6, 6),       # fully bidirectional triangle
+        (G_LINE, 0, 2),      # pure chain, no reverses
+        (G_CYCLE, 0, 3),     # directed 3-cycle, no reverses
+        ([(1, 2), (2, 1), (2, 3)], 2, 3),  # one reciprocal pair
+    ],
+)
+def test_reciprocity(spark, edges, want_recip, want_total):
+    row = reciprocity(edges_df(spark, edges)).collect()[0]
+    assert row["reciprocal_edges"] == want_recip
+    assert row["total_edges"] == want_total
+    assert row["reciprocity"] == pytest.approx(want_recip / want_total)
+
+
+@pytest.mark.parametrize(
+    "edges,want_tri,want_wedges,want_t",
+    [
+        (G_TRI, 1, 3, 1.0),    # undirected triangle
+        (G_CYCLE, 1, 3, 1.0),  # directed cycle → same undirected triangle
+        (G_LINE, 0, 1, 0.0),   # path: one wedge, no triangle
+        # triangle with a pendant: wedges = 3 (triangle) + C(3,2)=3 at hub
+        ([(1, 2), (2, 3), (3, 1), (3, 4)], 1, 5, 0.6),
+    ],
+)
+def test_transitivity(spark, edges, want_tri, want_wedges, want_t):
+    row = global_transitivity(edges_df(spark, edges)).collect()[0]
+    assert row["n_triangles"] == want_tri
+    assert row["n_wedges"] == want_wedges
+    assert row["transitivity"] == pytest.approx(want_t)
