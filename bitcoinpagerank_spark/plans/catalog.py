@@ -1106,6 +1106,136 @@ def q_rel_symmetric_anti(spark, sf_dir):
     return symmetric_anti(l, r, "k")
 
 
+@register(
+    "rel_asof_join",
+    """WITH od AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+    FROM events e ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def q_rel_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each event picks up the
+    most recent order of the same customer at-or-before the event time.
+    Right ties on (custkey, orderdate) are pre-aggregated to max orderkey
+    so the match is deterministic in both engines."""
+    from .joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return as_of_join(ev, od, ["user_id"], ["o_custkey"], "ts", "o_orderdate")
+
+
+@register(
+    "rel_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+              coalesce(l_linestatus, '(all)') AS l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rel_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP): per (flag, status), per flag, and
+    grand total in one pass — Spark plans a single Expand + hash agg.
+    Subtotal-marker NULLs are labeled '(all)' (fixture columns are
+    non-null, so the label is unambiguous)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "rel_cube",
+    """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+              coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_rel_cube(spark, sf_dir):
+    """All grouping-set combinations (CUBE) over orders; subtotal NULLs
+    labeled '(all)' as in rel_rollup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "notspec"),
+    ("5-LOW", "low"),
+]
+
+
+@register(
+    "rel_pivot",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"count(CASE WHEN o_orderpriority = '{v}' THEN 1 END) AS {a}"
+        for v, a in _PRIORITIES
+    )
+    + " FROM orders GROUP BY 1",
+)
+def q_rel_pivot(spark, sf_dir):
+    """Pivot: order counts by status × priority, priorities as columns.
+    Pivot values are pinned so the output schema is static (a scan to
+    discover them would be a second pass at scale)."""
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in _PRIORITIES],
+    )
+
+
+@register(
+    "rel_left_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_rel_left_semi(spark, sf_dir):
+    """Left-semi join (beyond the reference kernel's five types —
+    SURVEY §2.3 J5 notes Spark is strictly broader): customers with at
+    least one order, no right-side columns, no fan-out."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
 # ========================================================== events queries
 
 @register(

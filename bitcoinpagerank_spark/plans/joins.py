@@ -129,6 +129,66 @@ def bitcoin_edge_etl(
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: list[str],
+    right_on: list[str],
+    left_time: str,
+    right_time: str,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with the
+    same key and ``right_time <= left_time`` (equality included).
+
+    Spark has no native as-of operator; this is the scalable composition:
+    tag both sides, union, ONE shuffle on the key, and a running
+    ``last(..., ignorenulls)`` over a key-partitioned time-ordered window
+    — O(|L|+|R|) state per key partition, no range-join blowup, no
+    per-left-row right scan. (A naive ``t_r <= t_l`` theta join is
+    quadratic per key; this shape is linear and is what AS OF engines do
+    under the hood.)
+
+    Right rows must be unique per (key, right_time) — pre-aggregate ties
+    upstream, otherwise which tie wins is unspecified. Right payload
+    columns (everything but key+time) come back nullable; ``how='inner'``
+    drops left rows with no as-of match.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"as_of_join supports left/inner, got {how!r}")
+    keys = [f"__k{i}" for i in range(len(left_on))]
+    payload = [c for c in right.columns if c not in {*right_on, right_time}]
+    if not payload:
+        raise ValueError("right side has no payload columns")
+    l2 = left.select(
+        *[F.col(c).alias(k) for c, k in zip(left_on, keys)],
+        F.col(left_time).alias("__t"),
+        F.struct(*left.columns).alias("__l"),
+    ).withColumn("__side", F.lit(1))
+    r2 = right.select(
+        *[F.col(c).alias(k) for c, k in zip(right_on, keys)],
+        F.col(right_time).alias("__t"),
+        F.struct(*payload).alias("__r"),
+    ).withColumn("__side", F.lit(0))
+    # right rows sort before left rows at equal time → equality matches
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    filled = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = filled.where(F.col("__side") == 1)
+    if how == "inner":
+        out = out.where(F.col("__m").isNotNull())
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in payload],
+    )
+
+
 def address_graph(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """String-keyed address edges → hashed (src_id, dst_id) ready for the
     graph operators (BuildTextGraph dedups via HashSet,

@@ -88,3 +88,28 @@ def test_address_graph_dedup_roundtrip(spark, tables):
     assert g.count() == res.edges.distinct().count()
     multi = address_graph(res.edges, dedup=False)
     assert multi.count() == res.edges.count()
+
+
+# ------------------------------------------------------------- as-of join
+
+def test_as_of_join_semantics(spark):
+    from bitcoinpagerank_spark.plans.joins import as_of_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 150), (4, 30, 100)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (20, 160, "c")],
+        "k long, t long, v string",
+    )
+    out = as_of_join(left, right, ["k"], ["k"], "t", "t").orderBy("eid")
+    rows = [(r["eid"], r["v"]) for r in out.collect()]
+    # eid1: equality t=100 matches "a"; eid2: latest <=205 is "b";
+    # eid3: right row at 160 is AFTER 150 -> null; eid4: key 30 absent -> null
+    assert rows == [(1, "a"), (2, "b"), (3, None), (4, None)]
+    inner = as_of_join(left, right, ["k"], ["k"], "t", "t", how="inner")
+    assert sorted(r["eid"] for r in inner.collect()) == [1, 2]
+    # left columns survive untouched
+    assert out.columns == ["eid", "k", "t", "v"]
