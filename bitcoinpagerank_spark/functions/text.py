@@ -186,3 +186,94 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(t), 6).alias("quality"),
         lang_id(t).alias("lang_pred"),
     )
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) — raw in-document term counts.
+
+    One explode + one hash agg keyed by (id, term); the fan-out is bounded
+    by document length, and the aggregate is partial (map-side) so the
+    shuffle carries per-(doc, term) rows, not per-token rows.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) with the smooth-idf convention
+    tfidf = tf · (ln((N+1)/(df+1)) + 1).
+
+    ``n_docs`` is passed in (a catalog statistic at real scale — counting
+    inside the operator would add a full extra pass). The document-
+    frequency table is vocabulary-sized; Catalyst broadcast-joins it back
+    onto the (id, term) rows when it fits, hash-joins on term otherwise.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("tfidf"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    avg_len: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) — Okapi BM25 of each document against a fixed term set:
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avg_len))
+        idf(t) = ln(1 + (N−df+0.5)/(df+0.5))
+
+    ``n_docs``/``avg_len`` are corpus statistics passed in (catalog
+    stats at scale). The plan filters the exploded token stream to the
+    query terms FIRST — so the (id, term) aggregate only ever sees
+    |Q|·N rows — then joins the |Q|-row df table (broadcast) and reduces
+    to one row per matching document.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    tf_all = term_frequencies(docs, id_col, text_col)
+    tf_q = tf_all.where(F.col("term").isin(*query_terms))
+    df_q = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lens = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avg_len)))
+    return (
+        tf_q.join(F.broadcast(df_q), "term")
+        .join(lens, "id")
+        .select("id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("part"))
+        .groupBy("id")
+        .agg(F.sum("part").alias("score"))
+    )

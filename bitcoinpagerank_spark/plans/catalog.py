@@ -2313,6 +2313,87 @@ def q_doc_top_terms(spark, sf_dir):
     )
 
 
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2)"""
+
+
+@register(
+    "doc_tfidf_top",
+    f"""WITH {_TOKS_CTE},
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    sc AS (
+      SELECT tf.id, tf.term, tf.tf, dfreq.df,
+             tf.tf * (ln((n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+    ),
+    rk AS (
+      SELECT id, term, tfidf,
+             row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rn
+      FROM sc
+    )
+    SELECT id, term, round(tfidf, 6) AS tfidf FROM rk WHERE rn = 1""",
+)
+def q_doc_tfidf_top(spark, sf_dir):
+    """Per-document top TF-IDF term (smooth idf; ties → term asc). Exact
+    cross-engine: tfidf is a pure function of the integer (tf, df, N)."""
+    from ..functions.text import tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = tfidf(docs, _doc_count(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "term", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+_BM25_TERMS = ["spark", "join", "data"]
+
+
+@register(
+    "doc_bm25",
+    f"""WITH {_TOKS_CTE},
+    q AS (SELECT unnest({_BM25_TERMS!r}) AS term),
+    tfq AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    lens AS (SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+    av AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM nn) AS avg_len FROM lens
+    ),
+    parts AS (
+      SELECT t.id,
+             ln(1.0 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / av.avg_len)) AS part
+      FROM tfq t
+      JOIN dfq d USING (term) JOIN lens l USING (id)
+      CROSS JOIN nn CROSS JOIN av
+    )
+    SELECT id, round(sum(part), 6) AS score FROM parts GROUP BY id""",
+)
+def q_doc_bm25(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against the fixed
+    query {{spark, join, data}}; corpus stats (N, avg_len) are exact
+    integer-derived doubles on both engines."""
+    from ..functions.text import bm25_scores, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = _doc_count(spark, sf_dir)
+    total_tokens = docs.agg(
+        F.sum(token_count(F.col("text"))).alias("s")
+    ).first()["s"]
+    res = bm25_scores(docs, _BM25_TERMS, n, float(total_tokens) / n)
+    return res.select("id", F.round("score", 6).alias("score"))
+
+
 # ------------------------------------------- sliding windows / funnel join
 _SLIDING_SQL = """WITH k AS (SELECT unnest(generate_series(0, 3)) AS k)
 SELECT CAST((floor(epoch(ts) / 900) - k.k) * 900 AS BIGINT) AS window_start_s,

@@ -131,3 +131,45 @@ def test_winnow_fingerprints(spark):
     assert sorted(by_id[1]["fp"]) == want
     assert sorted(by_id[2]["fp"]) == want  # identical doc
     assert by_id[3]["fp"] == []            # < 3 tokens -> no shingles
+
+
+# ---------------------------------------------------------- tf-idf / bm25
+
+def test_tfidf_hand_values(spark):
+    import math
+
+    from bitcoinpagerank_spark.functions.text import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    rows = {(r["id"], r["term"]): r for r in tfidf(docs, 3).collect()}
+    # cat: tf=2 in doc1, df=2; smooth idf = ln(4/3)+1
+    r = rows[(1, "cat")]
+    assert r["tf"] == 2 and r["df"] == 2
+    assert r["tfidf"] == pytest.approx(2 * (math.log(4 / 3) + 1))
+    # fish: df=1 -> idf = ln(4/2)+1
+    assert rows[(2, "fish")]["tfidf"] == pytest.approx(math.log(2) + 1)
+
+
+def test_bm25_hand_values(spark):
+    import math
+
+    from bitcoinpagerank_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog fish"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    n, avg_len = 3, 2.0  # (3+2+1)/3
+    got = {r["id"]: r["score"] for r in
+           bm25_scores(docs, ["cat"], n, avg_len).collect()}
+    assert set(got) == {1, 3}  # doc 2 has no 'cat'
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def bm25(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avg_len))
+    assert got[1] == pytest.approx(bm25(2, 3))
+    assert got[3] == pytest.approx(bm25(1, 1))
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [], n, avg_len)
