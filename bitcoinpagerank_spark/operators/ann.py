@@ -246,3 +246,52 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, pos, c) — per-label elementwise mean embedding.
+
+    The mean is computed as ``dim`` per-component avg aggregates in ONE
+    hash agg (whole-stage codegen; shuffle rows = #labels, each carrying
+    dim doubles) — not via posexplode, which would shuffle dim× the input
+    row count. The wide row is unpivoted to (pos, c) pairs afterwards
+    with ``stack`` — driver-free and output-sized."""
+    aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(dim)
+    ]
+    wide = embeddings.groupBy(F.col(label_col).alias("label")).agg(*aggs)
+    stack = ", ".join(f"{i}, c{i}" for i in range(dim))
+    return wide.select(
+        "label", F.expr(f"stack({dim}, {stack}) AS (pos, c)")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, cosine) — nearest-centroid assignment (one k-means E
+    step) by cosine; ties broken toward the lower centroid id.
+
+    ``centroids`` is (cid, cv) and is broadcast — the candidate join is
+    |rows|×k with zero shuffle on the big side; the per-row argmax is a
+    key-partitioned window over k rows (bounded state)."""
+    c = F.broadcast(centroids.select("cid", "cv"))
+    scored = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(c)
+        .select("id", "cid", cosine_expr(F.col("v"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cid", "cosine")
+    )

@@ -2752,6 +2752,111 @@ def q_edge_sample(spark, sf_dir):
     return e.where(h < 10)
 
 
+# ------------------------------------ deterministic sampling / embeddings
+
+_STRAT_RATES = {"en": 10, "zh": 100, "de": 50, "fr": 50, "es": 50}
+
+
+@register(
+    "doc_stratified_sample",
+    "SELECT doc_id, lang FROM documents "
+    "WHERE (doc_id * 1103515245 + 12345) % 100 < CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items()))
+    + " ELSE 0 END",
+)
+def q_doc_stratified_sample(spark, sf_dir):
+    """Per-language deterministic Bernoulli sample (downsample 'en' to
+    10%, keep all 'zh', half the rest) — the language-rebalancing
+    primitive of corpus curation; LCG-keyed so both engines and every
+    run draw the identical sample."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", _STRAT_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "doc_train_test_split",
+    """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 20
+              THEN 'test' ELSE 'train' END AS split,
+              lang, count(*) AS n
+       FROM documents GROUP BY 1, 2""",
+)
+def q_doc_train_test_split(spark, sf_dir):
+    """Deterministic 80/20 split: membership is a pure function of the
+    id, so growing the corpus never migrates old rows across splits.
+    Output: per-(split, lang) counts."""
+    from ..operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", 20)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EMB_DIM = 64
+
+
+@register(
+    "emb_centroid_by_label",
+    """SELECT label, pos, round(avg(x), 6) AS c FROM (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ) GROUP BY 1, 2""",
+)
+def q_emb_centroid_by_label(spark, sf_dir):
+    """Per-label mean embedding as (label, pos, c) rows — computed with
+    dim per-component avg aggregates in one codegen'd hash agg (no
+    posexplode shuffle blowup), then unpivoted."""
+    from ..operators.ann import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, _EMB_DIM).select(
+        "label", "pos", F.round("c", 6).alias("c")
+    )
+
+
+@register(
+    "emb_kmeans_assign",
+    """WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    sc AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+               AS cosine
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    rk AS (
+      SELECT id, cid, cosine,
+             row_number() OVER (PARTITION BY id ORDER BY cosine DESC, cid) AS rn
+      FROM sc
+    )
+    SELECT id, cid, round(cosine, 4) AS cosine FROM rk WHERE rn = 1""",
+)
+def q_emb_kmeans_assign(spark, sf_dir):
+    """One k-means E-step: nearest-centroid (cosine) assignment against
+    the 4 lowest-id vectors as fixed centroids; centroid table broadcast,
+    argmax via a bounded k-row window."""
+    from ..operators.ann import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    return kmeans_assign(emb, cent).select(
+        "id", "cid", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ------------------------------------------- neighbor feature aggregation
 _NFM_DIMS = 16
 
