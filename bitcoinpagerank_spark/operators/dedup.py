@@ -361,3 +361,38 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return cand
+
+
+def neardup_clusters(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, canonical_id, is_canonical) — collapse near-dup PAIRS into
+    CLUSTERS and pick one keeper per cluster.
+
+    Pairwise near-dup detection (simhash/LSH/jaccard) yields edges; the
+    dedup decision needs the transitive closure (A~B, B~C ⇒ one cluster
+    even if A,C never paired). That closure is exactly connected
+    components, so this reuses the O(log n)-round large-star/small-star
+    contraction — no driver-side union-find, scales with the pair graph.
+    Canonical = min doc id of the cluster (the components label contract);
+    documents in no pair are their own canonical. Downstream keep-filter:
+    ``where(is_canonical)``.
+    """
+    from .components import connected_components
+
+    e = pairs.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id")
+    )
+    labels = connected_components(spark, e).labels
+    return (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )

@@ -1672,6 +1672,38 @@ def q_doc_simhash64_neardup(spark, sf_dir):
 
 
 @register(
+    "doc_neardup_clusters",
+    f"""WITH RECURSIVE pairs AS (
+      {_simhash_pairs_sql(bits=64, max_hamming=3, block_bits=16)}
+    ),
+    pund AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    preach(id, r) AS (
+      SELECT a, a FROM pund
+      UNION
+      SELECT preach.id, pund.b FROM preach JOIN pund ON preach.r = pund.a
+    ),
+    plab AS (SELECT id, min(r) AS canonical FROM preach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(p.canonical, d.doc_id) AS canonical_id,
+           coalesce(p.canonical, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN plab p ON p.id = d.doc_id""",
+)
+def q_doc_neardup_clusters(spark, sf_dir):
+    """End-to-end dedup decision: 64-bit simhash near-dup pairs →
+    transitive closure via connected components → one canonical keeper
+    (min id) per cluster; pair-free docs keep themselves."""
+    from ..operators.dedup import neardup_clusters, simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+    pairs = simhash_neardup_pairs(sims, bits=64, max_hamming=3, block_bits=16)
+    return neardup_clusters(spark, docs, pairs)
+
+
+@register(
     "doc_winnow",
     f"""WITH {DOC_TOKS_CTE},
     shp AS (

@@ -228,3 +228,19 @@ def test_ngram_jaccard_df_cap(spark, tids):
         for r in ngram_jaccard_pairs(tids, threshold=0.0, df_cap=1).collect()
     }
     assert (1, 2) not in capped and (1, 3) not in capped
+
+
+def test_neardup_clusters_transitive(spark):
+    from bitcoinpagerank_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 1~2~3 (one cluster via transitivity), pair 5~6, 0 and 4 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+            for r in neardup_clusters(spark, docs, pairs).collect()}
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
