@@ -187,3 +187,43 @@ def harmonic_centrality(
             F.count(F.lit(1)).alias("n_sources"),
         )
     )
+
+
+def eccentricity_sample(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(src, eccentricity, n_reached) — forward eccentricity per seed:
+    the max hop distance over the seed's reachable set (0 if the seed
+    reaches nothing). One labeled BFS + one per-seed aggregate; seeds are
+    a sample, making this the standard scalable diameter lower-bound
+    probe (exact all-pairs eccentricity is O(V·E) and not a 100 TB op)."""
+    res = labeled_bfs(spark, edges, sources, max_iter, num_partitions)
+    return res.distances.groupBy("src").agg(
+        F.max("dist").alias("eccentricity"),
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+    )
+
+
+def effective_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    q: float = 0.9,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-row (n_pairs, diameter_lb, effective_diameter) over the sampled
+    (seed, vertex) distance distribution: diameter_lb = max observed
+    distance, effective_diameter = interpolated q-quantile (classic
+    ANF/HyperANF summary statistic, here exact over the seed sample)."""
+    res = labeled_bfs(spark, edges, sources, max_iter, num_partitions)
+    d = res.distances.where(F.col("dist") > 0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("dist").alias("diameter_lb"),
+        F.percentile(F.col("dist"), F.lit(q)).alias("effective_diameter"),
+    )

@@ -859,6 +859,54 @@ def q_bfs_hops(spark, sf_dir):
     return res.distances.select("id", "dist")
 
 
+_SEED_BFS_CTE = """
+    r AS (
+      SELECT id AS src, id, CAST(0 AS BIGINT) AS dist
+      FROM verts WHERE id % 50 = 0
+      UNION
+      SELECT r.src, e.dst_id, r.dist + 1
+      FROM r JOIN edges e ON e.src_id = r.id WHERE r.dist < 40
+    ),
+    d AS (SELECT src, id, min(dist) AS dist FROM r GROUP BY 1, 2)"""
+
+
+@register(
+    "g_eccentricity",
+    f"""WITH RECURSIVE {EDGES_CTE},{_SEED_BFS_CTE}
+    SELECT src, max(dist) AS eccentricity, count(*) - 1 AS n_reached
+    FROM d GROUP BY src""",
+)
+def q_eccentricity(spark, sf_dir):
+    """Per-seed forward eccentricity from the deterministic seed sample
+    id % 50 == 0 (diameter lower-bound probe)."""
+    from ..operators.bfs import eccentricity_sample
+
+    e = doc_edges(spark, sf_dir)
+    seeds = E.vertices(e).where(F.col("id") % 50 == 0)
+    return eccentricity_sample(spark, e, seeds)
+
+
+@register(
+    "g_effective_diameter",
+    f"""WITH RECURSIVE {EDGES_CTE},{_SEED_BFS_CTE}
+    SELECT count(*) AS n_pairs, max(dist) AS diameter_lb,
+           round(quantile_cont(dist, 0.9), 6) AS effective_diameter
+    FROM d WHERE dist > 0""",
+)
+def q_effective_diameter(spark, sf_dir):
+    """Sampled effective diameter (ANF-style p90 of the seed-to-vertex
+    distance distribution) + diameter lower bound, one row."""
+    from ..operators.bfs import effective_diameter
+
+    e = doc_edges(spark, sf_dir)
+    seeds = E.vertices(e).where(F.col("id") % 50 == 0)
+    res = effective_diameter(spark, e, seeds, q=0.9)
+    return res.select(
+        "n_pairs", "diameter_lb",
+        F.round("effective_diameter", 6).alias("effective_diameter"),
+    )
+
+
 # rows-only (non-SQL-expressible fixpoints): full convergence runs
 @register("g_pagerank_converged", None)
 def q_pagerank_converged(spark, sf_dir):

@@ -40,3 +40,20 @@ def test_transitivity(spark, edges, want_tri, want_wedges, want_t):
     assert row["n_triangles"] == want_tri
     assert row["n_wedges"] == want_wedges
     assert row["transitivity"] == pytest.approx(want_t)
+
+
+def test_eccentricity_and_effective_diameter(spark):
+    from bitcoinpagerank_spark.operators.bfs import (
+        eccentricity_sample,
+        effective_diameter,
+    )
+
+    df = edges_df(spark, G_LINE)  # 1->2->3
+    ecc = {r["src"]: (r["eccentricity"], r["n_reached"])
+           for r in eccentricity_sample(spark, df, [1, 2, 3]).collect()}
+    assert ecc == {1: (2, 2), 2: (1, 1), 3: (0, 0)}
+    row = effective_diameter(spark, df, [1, 2, 3], q=0.9).collect()[0]
+    # samples: d(1,2)=1, d(1,3)=2, d(2,3)=1 -> p90 of [1,1,2] = 1.8
+    assert row["n_pairs"] == 3
+    assert row["diameter_lb"] == 2
+    assert row["effective_diameter"] == pytest.approx(1.8)
