@@ -137,6 +137,10 @@ def main() -> None:
         "g_predicted_links",
         "ev_sliding_window",
         "rel_kmv_distinct",
+        "g_katz_iter3",
+        "rel_asof_join",
+        "doc_tfidf_top",
+        "doc_neardup_clusters",
     ]:
         timed(f"q_{name}", lambda n=name: cat[n](spark, sf_dir).count())
 
