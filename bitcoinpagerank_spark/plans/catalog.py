@@ -1284,6 +1284,60 @@ def q_rel_left_semi(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+@register(
+    "rel_running_total",
+    """SELECT o_orderkey, o_custkey,
+              round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_total,
+              row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS order_seq
+       FROM orders""",
+)
+def q_rel_running_total(spark, sf_dir):
+    """Cumulative analytics: per-customer running order total + order
+    sequence number (ties broken by orderkey — a total order, so the
+    prefix sums are engine-independent). One shuffle on the customer key;
+    window state is one running double."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "rel_snapshot_delta",
+    """WITH old AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+         new AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'removed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL""",
+)
+def q_rel_snapshot_delta(spark, sf_dir):
+    """Snapshot diff (incremental-crawl primitive): keys in exactly one
+    of two deterministic order-set snapshots, labeled added/removed, via
+    ONE full-outer join."""
+    from .joins import snapshot_delta
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0)
+    new = o.where(F.col("o_orderkey") % 5 != 0)
+    return snapshot_delta(old, new, ["o_orderkey"])
+
+
 # ========================================================== events queries
 
 @register(
@@ -1420,6 +1474,39 @@ def q_ev_stream_dedup(spark, sf_dir):
         "append",
     )
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+_SEGMENT_SQL = """SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1"""
+
+
+@register("ev_segment_totals", _SEGMENT_SQL)
+def q_ev_segment_totals(spark, sf_dir):
+    """Batch form of the stream-static enrichment: events joined to the
+    broadcast customer dimension, aggregated per market segment."""
+    from ..streaming.events import segment_totals
+
+    return segment_totals(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+
+
+@register("ev_stream_enrich", _SEGMENT_SQL)
+def q_ev_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the events file stream left-joined to the
+    static customer dimension (stateless, broadcast per micro-batch) and
+    aggregated per segment — same logical plan as the batch entry, so one
+    oracle gates both."""
+    from ..streaming import materialize_stream, read_event_stream
+    from ..streaming.events import segment_totals
+
+    stream = segment_totals(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"),
+        _t(spark, sf_dir, "customer"),
+    )
+    return materialize_stream(stream, _stream_sink("cat_enrich"), "complete")
 
 
 # ===================================================== document pipelines

@@ -189,6 +189,23 @@ def as_of_join(
     )
 
 
+def snapshot_delta(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., change) — keys present in exactly one snapshot, labeled
+    'added' (new only) or 'removed' (old only). The incremental-crawl
+    primitive: yesterday's edge/page set vs today's, in ONE full-outer
+    join on the key (not two anti-join passes) so each side is scanned
+    and shuffled once."""
+    o = old.select(*keys).distinct().withColumn("__o", F.lit(1))
+    n = new.select(*keys).distinct().withColumn("__n", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    return j.where(F.col("__o").isNull() | F.col("__n").isNull()).select(
+        *keys,
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )
+
+
 def address_graph(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """String-keyed address edges → hashed (src_id, dst_id) ready for the
     graph operators (BuildTextGraph dedups via HashSet,

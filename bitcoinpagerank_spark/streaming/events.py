@@ -323,3 +323,44 @@ def followup_pairs(
         "then_id",
         (F.unix_timestamp("then_ts") - F.unix_timestamp("first_ts")).alias("gap_s"),
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static enrichment: left-join each event against a broadcast
+    dimension table (segment lookup). Works identically on a batch frame
+    and a ``readStream`` — the static side is re-broadcast per micro-batch
+    by Structured Streaming, so dimension updates between batches are
+    picked up, and the join adds ZERO streaming state (no watermark
+    needed: stream-static joins are stateless)."""
+    d = F.broadcast(
+        dim.select(F.col(on_right).alias(on_left), *dim_cols)
+    )
+    return events.join(d, on_left, "left")
+
+
+def segment_totals(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """(segment, n, sum_value) — enrichment + one hash agg; unmatched
+    users fall into the '(none)' segment. Batch/stream dual."""
+    src = events.withWatermark("ts", watermark) if (
+        watermark and events.isStreaming
+    ) else events
+    return (
+        enrich_with_dim(src, dim)
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

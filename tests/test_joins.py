@@ -113,3 +113,13 @@ def test_as_of_join_semantics(spark):
     assert sorted(r["eid"] for r in inner.collect()) == [1, 2]
     # left columns survive untouched
     assert out.columns == ["eid", "k", "t", "v"]
+
+
+def test_snapshot_delta(spark):
+    from bitcoinpagerank_spark.plans.joins import snapshot_delta
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    new = spark.createDataFrame([(2,), (3,), (4,), (4,)], "k long")  # dup in new
+    rows = {(r["k"], r["change"])
+            for r in snapshot_delta(old, new, ["k"]).collect()}
+    assert rows == {(1, "removed"), (4, "added")}
