@@ -1,0 +1,145 @@
+"""Luby-style maximal independent set (MIS) — O(log n) expected rounds.
+
+Not in the reference; breadth op in the same peel-loop family as k-core
+(`kcore.py`) and k-truss. MIS is the classic symmetry-breaking primitive
+(scheduling, graph coloring seeds, landmark selection) and the canonical
+example of a fixpoint Catalyst cannot express — the driver loop + eager
+localCheckpoint shape from pagerank.py applies unchanged.
+
+Per round r over the residual graph:
+
+* every active vertex draws a deterministic priority
+  ``p(v, r) = (v·A + r·B + C) mod M`` (LCG arithmetic, so runs and the
+  DuckDB oracle replay identical draws — ``rand()`` would never match),
+* a vertex joins the MIS iff its (p, id) pair is strictly smaller than
+  every active neighbor's (ties impossible: id breaks them), or it has no
+  active neighbors,
+* winners and their neighbors leave the active set; residual edges are
+  re-restricted to active×active.
+
+Each round costs: one neighbor-min hash agg, one winner join, one
+neighbor expansion, two semi-joins — all key-partitioned, no driver-side
+data. Round count and removed-vertex counts ride ``observe()`` on the
+round's checkpoint; shuffle bytes land in the lineage rows.
+
+The Spark side compares ``struct(p, id)`` (scale-safe for 64-bit hashed
+ids); the SQL oracle encodes the pair as ``p·2^20 + id`` which is
+equivalent while ids < 2^20 (true for every fixture scale).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST, auto_partitions, undirected_view, vertices
+from .lineage import group_shuffle_bytes, job_group, next_group
+
+MIS_A = 1_103_515_245
+MIS_B = 777_771
+MIS_C = 12_345
+MIS_M = 1_000_003
+
+
+@dataclass
+class MisResult:
+    # (id, status) — 'mis' | 'out' ('active' only if max_rounds hit first)
+    labels: DataFrame
+    rounds: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _priority(r: int):
+    return (F.col("id") * MIS_A + r * MIS_B + MIS_C) % MIS_M
+
+
+def maximal_independent_set(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 30,
+    num_partitions: int | None = None,
+) -> MisResult:
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, edges.count())
+
+    verts = vertices(edges).repartition(num_partitions, "id").persist()
+    n = verts.count()
+    if n == 0:
+        verts.unpersist()
+        raise ValueError("MIS on an empty graph")
+    sym = (
+        undirected_view(edges)
+        .repartition(num_partitions, SRC)
+        .localCheckpoint(eager=True)
+    )
+    active = verts.select("id").localCheckpoint(eager=True)
+    mis = spark.createDataFrame([], "id long")
+    metrics: list[dict] = []
+    converged = False
+    rounds = 0
+    for r in range(max_rounds):
+        t0 = time.monotonic()
+        grp = next_group("mis", r)
+        pri = active.select("id", F.struct(_priority(r).alias("p"), "id").alias("key"))
+        nbr_min = (
+            sym.join(pri.select(F.col("id").alias(DST), "key"), DST)
+            .groupBy(F.col(SRC).alias("id"))
+            .agg(F.min("key").alias("nkey"))
+        )
+        obs = Observation(f"mis_{r}")
+        with job_group(spark, grp, "MIS round"):
+            winners = (
+                pri.join(nbr_min, "id", "left")
+                .where(F.col("nkey").isNull() | (F.col("key") < F.col("nkey")))
+                .select("id")
+                .observe(obs, F.count(F.lit(1)).alias("won"))
+                .localCheckpoint(eager=True)
+            )
+            won = int(obs.get["won"] or 0)
+        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        removed = winners.unionByName(
+            sym.join(winners.withColumnRenamed("id", SRC), SRC).select(
+                F.col(DST).alias("id")
+            )
+        ).distinct()
+        obs_a = Observation(f"mis_a_{r}")
+        with job_group(spark, grp, "MIS residual"):
+            active = (
+                active.join(removed, "id", "left_anti")
+                .observe(obs_a, F.count(F.lit(1)).alias("remaining"))
+                .localCheckpoint(eager=True)
+            )
+            remaining = int(obs_a.get["remaining"] or 0)
+        sym = (
+            sym.join(active.withColumnRenamed("id", SRC), SRC, "left_semi")
+            .join(active.withColumnRenamed("id", DST), DST, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        srb, swb = group_shuffle_bytes(spark, grp)
+        rounds = r + 1
+        metrics.append(
+            {"round": rounds, "winners": won, "active_after": remaining,
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
+        )
+        if remaining == 0:
+            converged = True
+            break
+
+    labels = (
+        verts.join(mis.withColumn("__m", F.lit(1)), "id", "left")
+        .join(active.withColumn("__a", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__m").isNotNull(), F.lit("mis"))
+            .when(F.col("__a").isNotNull(), F.lit("active"))
+            .otherwise(F.lit("out"))
+            .alias("status"),
+        )
+    )
+    verts.unpersist()
+    return MisResult(labels, rounds, converged, metrics)

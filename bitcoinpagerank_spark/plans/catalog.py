@@ -859,6 +859,64 @@ def q_bfs_hops(spark, sf_dir):
     return res.distances.select("id", "dist")
 
 
+def _mis_sql(rounds: int = 2) -> str:
+    """Unrolled Luby MIS: deterministic LCG priorities, (p, id) pairs
+    encoded as p·2^20 + id (equivalent to the Spark side's struct
+    comparison while ids < 2^20 — true at every fixture scale)."""
+    from ..operators.mis import MIS_A, MIS_B, MIS_C, MIS_M
+
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "msym AS (SELECT src_id AS a, dst_id AS b FROM edges"
+        " UNION SELECT dst_id, src_id FROM edges),",
+        "ma0 AS (SELECT id FROM verts),",
+        "msym0 AS (SELECT * FROM msym),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""mp{r} AS (
+  SELECT id, ((id * {MIS_A} + {r * MIS_B + MIS_C}) % {MIS_M}) * 1048576 + id
+           AS key
+  FROM ma{r}
+),
+mnm{r} AS (
+  SELECT s.a AS id, min(p.key) AS nkey
+  FROM msym{r} s JOIN mp{r} p ON p.id = s.b GROUP BY s.a
+),
+mw{r} AS (
+  SELECT p.id FROM mp{r} p LEFT JOIN mnm{r} nm ON p.id = nm.id
+  WHERE nm.nkey IS NULL OR p.key < nm.nkey
+),
+mrm{r} AS (
+  SELECT id FROM mw{r}
+  UNION SELECT s.b FROM msym{r} s JOIN mw{r} w ON w.id = s.a
+),
+ma{r + 1} AS (SELECT id FROM ma{r} WHERE id NOT IN (SELECT id FROM mrm{r})),
+msym{r + 1} AS (
+  SELECT s.* FROM msym{r} s
+  JOIN ma{r + 1} x ON x.id = s.a JOIN ma{r + 1} y ON y.id = s.b
+),"""
+        )
+    wins = " UNION ".join(f"SELECT id FROM mw{r}" for r in range(rounds))
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + (
+        f"\nSELECT v.id, CASE WHEN v.id IN ({wins}) THEN 'mis'"
+        f" WHEN v.id IN (SELECT id FROM ma{rounds}) THEN 'active'"
+        f" ELSE 'out' END AS status FROM verts v"
+    )
+
+
+@register("g_mis_r2", _mis_sql(2))
+def q_mis_r2(spark, sf_dir):
+    """Luby MIS after 2 fixed rounds (statuses mis/out/active) — the
+    convergence run is oracle-checked in pytest (independence +
+    maximality)."""
+    from ..operators.mis import maximal_independent_set
+
+    res = maximal_independent_set(spark, doc_edges(spark, sf_dir), max_rounds=2)
+    return res.labels
+
+
 _SEED_BFS_CTE = """
     r AS (
       SELECT id AS src, id, CAST(0 AS BIGINT) AS dist
