@@ -1,0 +1,121 @@
+"""Weighted single-source shortest paths — distributed Bellman-Ford.
+
+Not in the reference (whose only traversal is PageRank); breadth op in
+the bfs.py family, upgraded to nonnegative edge weights. Per round the
+WHOLE current distance table relaxes across the edge table:
+
+    d'(v) = min( d(v),  min_{u→v} d(u) + w(u,v) )
+
+so after k rounds d(v) is exactly the cheapest path using ≤ k edges —
+the property the fixed-round DuckDB oracle unrolls (a hop-bounded
+recursive CTE). With nonnegative weights the fixpoint is Dijkstra's
+answer; convergence (zero improvements in a round) is detected by an
+``observe()``d improvement count riding the round's eager
+localCheckpoint — one job per round, the pagerank.py loop contract.
+
+Plan per round: one equi-join (edges ⋈ dists on src, the edge table
+partitioned once by src) + one by-dst min-aggregate + one outer merge
+with the previous table — all vertex- or edge-sized, no driver data.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import SRC, DST, auto_partitions
+from .lineage import group_shuffle_bytes, job_group, next_group
+
+
+@dataclass
+class SsspResult:
+    distances: DataFrame  # (id, dist) — reachable vertices only
+    rounds: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    weight_col: str | None = None,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> SsspResult:
+    """``weight_col`` None → unit weights (plain BFS distances). Raises on
+    any negative weight seen at relax time (Bellman-Ford would need the
+    V-round negative-cycle protocol; web-graph weights are counts/costs,
+    always nonnegative)."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, edges.count())
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            SRC,
+            DST,
+            F.when(w >= 0, w).alias("w"),  # null marks negatives
+        )
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .repartition(num_partitions, SRC)
+        .persist()
+    )
+    if e.where(F.col("w").isNull()).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("sssp requires nonnegative edge weights")
+
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "id long, dist double"
+    ).repartition(num_partitions, "id").localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    converged = False
+    rounds = 0
+    for r in range(max_rounds):
+        t0 = time.monotonic()
+        grp = next_group("sssp", r)
+        relaxed = (
+            e.join(dist.select(F.col("id").alias(SRC), "dist"), SRC)
+            .select(F.col(DST).alias("id"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        obs = Observation(f"sssp_{r}")
+        with job_group(spark, grp, "SSSP relax round"):
+            merged = (
+                dist.join(relaxed, "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("cand", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.col("cand") < F.col("dist"))
+                    ).cast("int").alias("improved"),
+                )
+                .observe(obs, F.sum("improved").alias("n_improved"))
+                .localCheckpoint(eager=True)
+            )
+            improved = int(obs.get["n_improved"] or 0)
+        dist = merged.select("id", "dist")
+        srb, swb = group_shuffle_bytes(spark, grp)
+        rounds = r + 1
+        metrics.append(
+            {"round": rounds, "improved": improved,
+             "wall_sec": time.monotonic() - t0,
+             "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
+        )
+        if improved == 0:
+            converged = True
+            break
+    e.unpersist()
+    return SsspResult(dist, rounds, converged, metrics)

@@ -917,6 +917,31 @@ def q_mis_r2(spark, sf_dir):
     return res.labels
 
 
+@register(
+    "g_sssp_r8",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    we AS (SELECT src_id, dst_id, (src_id + dst_id) % 7 + 1 AS w FROM edges),
+    r(id, dist, hops) AS (
+      SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst_id, r.dist + e.w, r.hops + 1
+      FROM r JOIN we e ON e.src_id = r.id WHERE r.hops < 8
+    )
+    SELECT id, CAST(min(dist) AS DOUBLE) AS dist FROM r GROUP BY id""",
+)
+def q_sssp_r8(spark, sf_dir):
+    """Weighted SSSP from vertex 1, 8 Bellman-Ford rounds (= cheapest
+    path using ≤ 8 edges, the hop-bounded oracle contract); weights
+    (src+dst)%7+1."""
+    from ..operators.sssp import sssp
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src_id") + F.col("dst_id")) % 7 + 1
+    )
+    res = sssp(spark, e, source=1, weight_col="w", max_rounds=8)
+    return res.distances.select("id", "dist")
+
+
 _SEED_BFS_CTE = """
     r AS (
       SELECT id AS src, id, CAST(0 AS BIGINT) AS dist
