@@ -991,6 +991,16 @@ def q_effective_diameter(spark, sf_dir):
 
 
 # rows-only (non-SQL-expressible fixpoints): full convergence runs
+@register("g_coloring", None)
+def q_coloring(spark, sf_dir):
+    """Greedy coloring via iterated MIS to completion — unbounded inner
+    MIS convergence makes it non-SQL-unrollable; validity (no
+    monochromatic edge) and the Δ+1 bound are pytest-asserted."""
+    from ..operators.mis import greedy_coloring
+
+    return greedy_coloring(spark, doc_edges(spark, sf_dir)).colors
+
+
 @register("g_pagerank_converged", None)
 def q_pagerank_converged(spark, sf_dir):
     res = pagerank(spark, doc_edges(spark, sf_dir), tol=1e-6, max_iter=100)

@@ -85,3 +85,28 @@ def test_mis_guards(spark):
     empty = spark.createDataFrame([], "src_id long, dst_id long")
     with pytest.raises(ValueError):
         maximal_independent_set(spark, empty)
+
+
+@pytest.mark.parametrize("gname", ["line", "cycle", "star", "tri", "path8"])
+def test_greedy_coloring_valid_and_bounded(spark, gname):
+    from bitcoinpagerank_spark.operators.mis import greedy_coloring
+
+    edges = GRAPHS[gname]
+    res = greedy_coloring(spark, edges_df(spark, edges))
+    assert res.converged
+    colors = {r["id"]: r["color"] for r in res.colors.collect()}
+    verts = {v for e in edges for v in e}
+    assert set(colors) == verts  # complete assignment
+    deg: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            deg.setdefault(s, set()).add(d)
+            deg.setdefault(d, set()).add(s)
+    for s, d in edges:
+        if s != d:
+            assert colors[s] != colors[d], (gname, s, d)  # proper coloring
+    max_deg = max(len(v) for v in deg.values())
+    assert res.n_colors <= max_deg + 1
+    # deterministic
+    res2 = greedy_coloring(spark, edges_df(spark, edges))
+    assert colors == {r["id"]: r["color"] for r in res2.colors.collect()}
