@@ -1378,6 +1378,40 @@ def q_rel_left_semi(spark, sf_dir):
 
 
 @register(
+    "rel_q3",
+    """SELECT o.o_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+)
+def q_rel_q3(spark, sf_dir):
+    """TPC-H Q3-shaped composite: 3-way join (segment-filtered customer
+    dim broadcast by Catalyst) → revenue agg → total-order top-10. The
+    segment filter prunes BEFORE the join (predicate pushdown)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "rel_running_total",
     """SELECT o_orderkey, o_custkey,
               round(sum(o_totalprice) OVER (
@@ -1451,6 +1485,46 @@ def q_ev_tumbling_window(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ev_retention",
+    """WITH act AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+      FROM events
+    )
+    SELECT a.day, count(*) AS active_users,
+           count(b.user_id) AS retained_next_day
+    FROM act a LEFT JOIN act b
+      ON b.user_id = a.user_id AND b.day = a.day + 1
+    GROUP BY a.day""",
+)
+def q_ev_retention(spark, sf_dir):
+    """Day-over-day retention: per day, active users and how many of them
+    are also active the next day — distinct (day, user) first (bounded
+    state), then one self-join on (user, day+1)."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    nxt = act.select((F.col("day") - 1).alias("day"),
+                     F.col("user_id").alias("u2"))
+    return (
+        act.join(
+            nxt,
+            (act["day"] == nxt["day"]) & (act["user_id"] == nxt["u2"]),
+            "left",
+        )
+        .groupBy(act["day"].alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_day"),
         )
     )
 
@@ -1721,6 +1795,56 @@ def _lang_sql() -> str:
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "doc_lang_confusion",
+    f"""WITH pred AS ({_lang_sql()})
+    SELECT d.lang, p.lang_pred, count(*) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2""",
+)
+def q_doc_lang_confusion(spark, sf_dir):
+    """Language-id confusion matrix: declared lang × predicted lang with
+    counts — the corpus-quality dashboard view of the lang-id op."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_source_quality",
+    rf"""WITH t AS (
+      SELECT source, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT source, count(*) AS n,
+           round(avg(
+             0.4 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                    / greatest(len(toks), 1))
+           + 0.3 * least(1.0, len(toks) / 100.0)
+           + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                    / greatest(length(lower(text)), 1))
+           ), 6) AS avg_quality
+    FROM t GROUP BY source""",
+)
+def q_doc_source_quality(spark, sf_dir):
+    """Per-source document counts + mean quality score — the
+    keep/drop-source decision table of corpus curation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
 
 
 _MH_K = 8
