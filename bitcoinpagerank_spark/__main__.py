@@ -16,6 +16,10 @@ SURVEY.md §3):
   labelprop  edges parquet → (id, label) parquet
   triangles  edges parquet → triangle count on stdout
   topk       ranks parquet → top-k report (CSV or text dump)
+  mis        edges parquet → (id, status) parquet (Luby MIS)
+  coloring   edges parquet → (id, color) parquet (iterated-MIS greedy)
+  sssp       edges parquet → (id, dist) parquet from --sources[0]
+  centrality edges parquet → scores parquet (--variant katz|eigenvector|salsa)
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "etl", "pagerank", "components", "scc", "bfs", "walks",
         "labelprop", "triangles", "topk", "ktruss", "harmonic", "linkpred",
+        "mis", "coloring", "sssp", "centrality",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -57,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-pivot-degree", type=int, default=None,
                     help="linkpred: drop shared-neighbor pivots above this "
                          "degree before the wedge join (hub cap)")
+    ap.add_argument("--weight-col", default=None,
+                    help="sssp: edge weight column (default: unit weights)")
+    ap.add_argument("--variant", default="katz",
+                    choices=["katz", "eigenvector", "salsa"],
+                    help="centrality: which algorithm")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -220,6 +230,64 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"pairs": res.count(), "output": args.output}))
         else:
             print(json.dumps({"pairs": res.count()}))
+        return 0
+
+    if args.command == "mis":
+        from .operators.mis import maximal_independent_set
+
+        res = maximal_independent_set(
+            spark, spark.read.parquet(args.input),
+            num_partitions=args.partitions)
+        if args.output:
+            res.labels.write.mode("overwrite").parquet(args.output)
+        n_mis = res.labels.where("status = 'mis'").count()
+        print(json.dumps({"rounds": res.rounds, "converged": res.converged,
+                          "mis_size": n_mis}))
+        return 0
+
+    if args.command == "coloring":
+        from .operators.mis import greedy_coloring
+
+        res = greedy_coloring(
+            spark, spark.read.parquet(args.input),
+            num_partitions=args.partitions)
+        if args.output:
+            res.colors.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"n_colors": res.n_colors,
+                          "converged": res.converged}))
+        return 0
+
+    if args.command == "sssp":
+        from .operators.sssp import sssp
+
+        seeds = [int(s) for s in args.sources.split(",") if s.strip()]
+        res = sssp(
+            spark, spark.read.parquet(args.input), source=seeds[0],
+            weight_col=args.weight_col, max_rounds=args.max_iter,
+            num_partitions=args.partitions)
+        if args.output:
+            res.distances.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rounds": res.rounds, "converged": res.converged,
+                          "reached": res.distances.count()}))
+        return 0
+
+    if args.command == "centrality":
+        from .operators.centrality import (
+            eigenvector_centrality,
+            katz_centrality,
+            salsa,
+        )
+
+        edges = spark.read.parquet(args.input)
+        fn = {"katz": katz_centrality, "eigenvector": eigenvector_centrality,
+              "salsa": salsa}[args.variant]
+        res = fn(spark, edges, max_iter=min(args.max_iter, 20),
+                 num_partitions=args.partitions)
+        if args.output:
+            res.scores.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"variant": args.variant,
+                          "iterations": res.iterations,
+                          "vertices": res.scores.count()}))
         return 0
 
     return 1

@@ -91,3 +91,22 @@ def test_cli_r3_breadth_commands(spark, tmp_path):
 
     lp = json.loads(_cli(["linkpred", "--input", path, "--min-common", "2"]))
     assert lp["pairs"] >= 0
+
+
+def test_cli_mis_coloring_sssp_centrality(spark, tmp_path):
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    path = str(tmp_path / "edges_r3")
+    edges.write.parquet(path)
+
+    mis = json.loads(_cli(["mis", "--input", path]))
+    assert mis["converged"] is True and mis["mis_size"] >= 1
+
+    col = json.loads(_cli(["coloring", "--input", path]))
+    assert col["converged"] is True and 2 <= col["n_colors"] <= 4
+
+    ss = json.loads(_cli(["sssp", "--input", path, "--sources", "1"]))
+    assert ss["converged"] is True and ss["reached"] == 4
+
+    cen = json.loads(_cli(["centrality", "--input", path,
+                           "--variant", "salsa", "--max-iter", "2"]))
+    assert cen["variant"] == "salsa" and cen["vertices"] == 4
