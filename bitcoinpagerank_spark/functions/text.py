@@ -220,6 +220,13 @@ def tfidf(
     inside the operator would add a full extra pass). The document-
     frequency table is vocabulary-sized; Catalyst broadcast-joins it back
     onto the (id, term) rows when it fits, hash-joins on term otherwise.
+
+    The df side re-scans the token stream (two scans total) — deliberate:
+    the single-scan alternative, ``count() OVER (PARTITION BY term)``,
+    funnels every occurrence of a hot term through one partition (stop
+    words hit every document → worst-case skew), while the second scan is
+    a cheap columnar read whose agg is map-side combined. Callers looping
+    over tfidf outputs should persist ``term_frequencies`` themselves.
     """
     tf = term_frequencies(docs, id_col, text_col)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
