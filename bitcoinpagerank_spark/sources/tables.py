@@ -57,3 +57,32 @@ def dump_ranks_text(
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-explicit JSON-lines scan — inference disabled for the same
+    reason as read_csv: at 100 TB a schema-inference pre-pass is a full
+    extra read, and silent type widening between files corrupts joins.
+    Malformed lines → nulls (PERMISSIVE), the S1/P2 contract."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (interchange format for downstream non-Spark
+    consumers; columnar parquet/ORC remain the engine-internal formats)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — second columnar format (native Spark reader, vectorized,
+    predicate pushdown like parquet); lets the engine ingest warehouse
+    tables written by Hive/Trino pipelines without conversion."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

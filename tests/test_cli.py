@@ -110,3 +110,43 @@ def test_cli_mis_coloring_sssp_centrality(spark, tmp_path):
     cen = json.loads(_cli(["centrality", "--input", path,
                            "--variant", "salsa", "--max-iter", "2"]))
     assert cen["variant"] == "salsa" and cen["vertices"] == 4
+
+
+def test_source_format_round_trips(spark, tmp_path):
+    """CSV/JSONL/ORC round-trips preserve the exact rows (S1/S6 parity
+    beyond the reference's text-only surface)."""
+    from bitcoinpagerank_spark.sources.tables import (
+        read_csv,
+        read_jsonl,
+        read_orc,
+        write_csv,
+        write_jsonl,
+        write_orc,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+
+    p = str(tmp_path / "orders_csv")
+    write_csv(src, p)
+    assert sorted(tuple(r) for r in read_csv(spark, p, schema).collect()) == want
+
+    p = str(tmp_path / "orders_jsonl")
+    write_jsonl(src, p)
+    assert sorted(tuple(r) for r in read_jsonl(spark, p, schema).collect()) == want
+
+    p = str(tmp_path / "orders_orc")
+    write_orc(src, p)
+    orc = read_orc(spark, p)
+    assert sorted(tuple(r) for r in orc.collect()) == want
+    # pushdown survives the format: filter reaches the ORC scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        orc.where("o_orderkey = 7").explain()
+    assert "PushedFilters: [" in buf.getvalue()
