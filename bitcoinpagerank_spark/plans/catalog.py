@@ -360,6 +360,35 @@ def q_components(spark, sf_dir):
 
 
 @register(
+    "g_component_sizes",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    und AS (
+      SELECT src_id AS a, dst_id AS b FROM edges
+      UNION SELECT dst_id, src_id FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+    ),
+    lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS size FROM lab GROUP BY 1)
+    SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
+)
+def q_component_sizes(spark, sf_dir):
+    """Component-size histogram (how fragmented is the crawl?): CC labels
+    → per-component size → per-size count. Two extra hash aggs on top of
+    the O(log n) contraction."""
+    labels = connected_components(spark, doc_edges(spark, sf_dir)).labels
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
+@register(
     "g_labelprop_iter1",
     f"""WITH {EDGES_CTE},
     und AS (
