@@ -360,6 +360,45 @@ def q_components(spark, sf_dir):
 
 
 @register(
+    "g_triangle_estimate",
+    f"""WITH {EDGES_CTE},
+    se AS (
+      SELECT src_id, dst_id FROM edges
+      WHERE (src_id * 1664525 + dst_id * 22695477 + 99991) % 100 < 30
+    ),
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM se
+    ),
+    tc AS (
+      SELECT count(*) AS sampled FROM und e1
+      JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT sampled,
+           round(sampled * 1000000.0 / 27000.0, 6) AS estimated_triangles
+    FROM tc""",
+)
+def q_triangle_estimate(spark, sf_dir):
+    """DOULION-style approximate triangle count: keep each edge with the
+    deterministic LCG coin at p=0.3, count triangles on the sample, scale
+    by 1/p³ — the standard sparsifier when the exact degree-ordered count
+    is still too heavy. LCG coin (not rand()) makes the ESTIMATE itself
+    oracle-checkable."""
+    e = doc_edges(spark, sf_dir)
+    coin = (
+        F.col("src_id") * F.lit(1_664_525)
+        + F.col("dst_id") * F.lit(22695477)
+        + F.lit(99991)
+    ) % 100
+    sampled = triangle_count(e.where(coin < 30))
+    return spark.createDataFrame(
+        [(sampled, round(sampled * 1000000.0 / 27000.0, 6))],
+        "sampled long, estimated_triangles double",
+    )
+
+
+@register(
     "g_component_sizes",
     f"""WITH RECURSIVE {EDGES_CTE},
     und AS (
