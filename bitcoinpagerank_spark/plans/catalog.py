@@ -293,6 +293,29 @@ def q_pagerank_iter3(spark, sf_dir):
     return res.ranks.select("id", F.round("score", 9).alias("score"))
 
 
+@register(
+    "g_pagerank_summary",
+    f"""WITH pr AS ({_pagerank_iter_sql(3)})
+    SELECT round(quantile_cont(score, 0.5), 9) AS p50,
+           round(quantile_cont(score, 0.9), 9) AS p90,
+           round(max(score), 9) AS max_score,
+           round(sum(score), 6) AS total_mass
+    FROM pr""",
+)
+def q_pagerank_summary(spark, sf_dir):
+    """Score-distribution summary of the 3-iteration PageRank (median,
+    p90, max, total mass ≈ 1) — the convergence-dashboard row, one extra
+    1-row aggregate on the ranks table."""
+    res = pagerank(spark, doc_edges(spark, sf_dir), tol=0.0, max_iter=3)
+    r = res.ranks.select(F.round("score", 9).alias("score"))
+    return r.agg(
+        F.round(F.percentile("score", F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile("score", F.lit(0.9)), 9).alias("p90"),
+        F.round(F.max("score"), 9).alias("max_score"),
+        F.round(F.sum("score"), 6).alias("total_mass"),
+    )
+
+
 _PPR_TP = "CASE WHEN v.id % 10 = 0 THEN 1.0/scnt ELSE 0.0 END"
 _PPR_CTE = "s AS (SELECT count(*) AS scnt FROM verts WHERE id % 10 = 0)"
 
