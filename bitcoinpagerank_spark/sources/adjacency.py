@@ -43,3 +43,33 @@ def adjacency_vertices(spark: SparkSession, path: str) -> DataFrame:
         .where(F.col("id").isNotNull())
         .distinct()
     )
+
+
+def write_adjacency_text(edges: DataFrame, path: str) -> None:
+    """Write edges back out in the reference's adjacency-text format:
+    one ``src<TAB>dst1<TAB>dst2...`` line per source (BuildTextGraph's
+    output shape, BuildTextGraph.java:104-110), plus a bare ``id`` line
+    for every sink-only vertex (the copyMerge'd remaining-nodes file,
+    BuildTextGraph.java:194-208). Neighbor order is sorted — the
+    reference's HashSet order is JVM-dependent; sorted is deterministic
+    and parses identically.
+
+    One groupBy(src) shuffle + one left-anti for sinks; the whole line
+    is built with array/concat expressions (no Python)."""
+    srcs = edges.groupBy(F.col("src_id").alias("id")).agg(
+        F.sort_array(F.collect_set("dst_id")).alias("dsts")
+    )
+    sinks = (
+        edges.select(F.col("dst_id").alias("id"))
+        .distinct()
+        .join(edges.select(F.col("src_id").alias("id")).distinct(), "id", "left_anti")
+        .withColumn("dsts", F.array().cast("array<long>"))
+    )
+    lines = srcs.unionByName(sinks).select(
+        F.concat_ws(
+            "\t",
+            F.col("id").cast("string"),
+            F.concat_ws("\t", F.transform("dsts", lambda d: d.cast("string"))),
+        ).alias("value")
+    ).select(F.regexp_replace("value", "\t$", "").alias("value"))
+    lines.write.mode("overwrite").text(path)

@@ -50,3 +50,23 @@ def test_random_adjacency_roundtrip(spark, tmp_path):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-6)
     assert components_oracle(edges)  # oracle sane on this graph
+
+
+def test_adjacency_write_read_round_trip(spark, tmp_path):
+    from bitcoinpagerank_spark.sources.adjacency import (
+        adjacency_vertices,
+        read_adjacency_text,
+        write_adjacency_text,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "src_id long, dst_id long"
+    )
+    path = str(tmp_path / "adj_rt")
+    write_adjacency_text(edges, path)
+    back = {(r["src_id"], r["dst_id"])
+            for r in read_adjacency_text(spark, path).collect()}
+    assert back == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    # sink-only vertices (3, 5) appear as bare lines
+    verts = {r["id"] for r in adjacency_vertices(spark, path).collect()}
+    assert verts == {1, 2, 3, 4, 5}
