@@ -165,3 +165,67 @@ class TableStore:
         else:
             df.write.mode("append").parquet(loc)
         return loc
+
+    # ------------------------------------------------------- maintenance
+
+    def list_tables(self, prefix: str = "") -> list[str]:
+        """Table names under the store root (parquet backend: directory
+        listing through the Hadoop FS; Iceberg: catalog listing)."""
+        if self.backend == "iceberg":
+            ns = self.root.strip("/").replace("/", "_") or "bpr"
+            rows = self.spark.sql(f"SHOW TABLES IN {self._catalog}.{ns}").collect()
+            names = [r["tableName"] for r in rows]
+        else:
+            fs, p, _ = self._fs_and_path(self.root)
+            if not fs.exists(p):
+                return []
+            names = [
+                st.getPath().getName()
+                for st in fs.listStatus(p)
+                if st.isDirectory()
+            ]
+        return sorted(n for n in names if n.startswith(prefix))
+
+    def expire_tables(self, prefix: str, keep_last: int) -> list[str]:
+        """Retention: drop all but the lexicographically-last ``keep_last``
+        tables matching ``prefix`` (snapshot names embed zero-padded
+        iteration numbers, so lexicographic == chronological). The analog
+        of Iceberg's ``expireSnapshots``; on the parquet backend each
+        snapshot is its own directory, so expiry is a recursive delete —
+        the manifest keeps pointing at the latest table, which is never
+        expired. Returns the dropped names."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        names = self.list_tables(prefix)
+        drop = names[:-keep_last] if keep_last < len(names) else []
+        for name in drop:
+            if self.backend == "iceberg":
+                self.spark.sql(f"DROP TABLE IF EXISTS {self.table_path(name)}")
+            else:
+                fs, p, _ = self._fs_and_path(self.table_path(name))
+                if fs.exists(p):
+                    fs.delete(p, True)
+        return drop
+
+    def compact_table(self, name: str, target_partitions: int) -> str:
+        """Rewrite a table to ``target_partitions`` files (small-file
+        compaction — streaming appends leave one file per micro-batch,
+        which at scale turns scans into metadata storms). Parquet backend:
+        read → coalesce → write to ``<name>__compact`` → atomic-ish swap
+        via FS rename. Iceberg: a rewrite commit on the same identifier."""
+        loc = self.table_path(name)
+        if self.backend == "iceberg":
+            df = self.spark.read.table(loc).coalesce(target_partitions)
+            df.writeTo(loc).using("iceberg").createOrReplace()
+            return loc
+        tmp_name = f"{name}__compact"
+        tmp_loc = self.table_path(tmp_name)
+        self.spark.read.parquet(loc).coalesce(target_partitions).write.mode(
+            "overwrite"
+        ).parquet(tmp_loc)
+        fs, dest, jvm = self._fs_and_path(loc)
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_loc)
+        fs.delete(dest, True)
+        if not fs.rename(tmp, dest):
+            raise IOError(f"compaction swap failed for {loc}")
+        return loc

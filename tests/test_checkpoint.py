@@ -136,3 +136,39 @@ def test_iteration_metrics_carry_shuffle_bytes(spark, tmp_path):
     # the metrics DataFrame exposes the new columns too
     cols = set(res.metrics_df(spark).columns)
     assert {"shuffle_read_bytes", "shuffle_write_bytes"} <= cols
+
+
+def test_tablestore_expiry_and_compaction(spark, tmp_path):
+    from bitcoinpagerank_spark.sources.tablestore import TableStore
+
+    store = TableStore(spark, f"file://{tmp_path}/store")
+    df = spark.range(100).selectExpr("id", "id * 2 AS score")
+    for i in range(4):
+        store.write_table(df, f"iter{i:04d}")
+    store.write_manifest({"latest": store.table_path("iter0003")})
+    assert store.list_tables("iter") == [
+        "iter0000", "iter0001", "iter0002", "iter0003"
+    ]
+
+    dropped = store.expire_tables("iter", keep_last=2)
+    assert dropped == ["iter0000", "iter0001"]
+    assert store.list_tables("iter") == ["iter0002", "iter0003"]
+    # the manifest's latest table is intact and readable
+    latest = store.read_manifest()["latest"]
+    assert store.read_table(latest).count() == 100
+
+    # fragment a table with many appends, then compact to 1 file
+    for _ in range(5):
+        store.append_table(df, "events_sink")
+    loc = store.table_path("events_sink")
+    import glob
+    n_before = len(glob.glob(f"{tmp_path}/store/events_sink/part-*"))
+    assert n_before >= 5
+    store.compact_table("events_sink", 1)
+    n_after = len(glob.glob(f"{tmp_path}/store/events_sink/part-*"))
+    assert n_after == 1
+    assert store.read_table(loc).count() == 500
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.expire_tables("iter", keep_last=0)
