@@ -316,6 +316,68 @@ def q_pagerank_summary(spark, sf_dir):
     )
 
 
+@register(
+    "g_vertex_features",
+    f"""WITH {EDGES_CTE},
+    pr AS ({_pagerank_iter_sql(3)}),
+    outd AS (SELECT src_id AS id, count(*) AS out_degree FROM edges GROUP BY 1),
+    ind AS (SELECT dst_id AS id, count(*) AS in_degree FROM edges GROUP BY 1),
+    und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    tris AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+      SELECT id, count(*) AS triangles FROM (
+        SELECT x AS id FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+      ) GROUP BY id
+    )
+    SELECT v.id,
+           coalesce(outd.out_degree, 0) AS out_degree,
+           coalesce(ind.in_degree, 0) AS in_degree,
+           coalesce(pv.triangles, 0) AS triangles,
+           pr.score AS pagerank
+    FROM verts v
+    LEFT JOIN outd ON outd.id = v.id
+    LEFT JOIN ind ON ind.id = v.id
+    LEFT JOIN pv ON pv.id = v.id
+    JOIN pr ON pr.id = v.id""",
+)
+def q_vertex_features(spark, sf_dir):
+    """Per-vertex ML feature assembly: degrees + triangle participation +
+    3-iteration PageRank in ONE wide table — the graph-feature export a
+    training pipeline consumes. Four vertex-keyed left joins over outputs
+    the engine already computes; at scale each side is id-partitioned so
+    the joins co-locate."""
+    e = doc_edges(spark, sf_dir)
+    verts = E.vertices(e)
+    from ..operators.triangles import triangle_count_per_vertex
+
+    pr = pagerank(spark, e, tol=0.0, max_iter=3).ranks.select(
+        "id", F.round("score", 9).alias("pagerank")
+    )
+    return (
+        verts.join(E.out_degrees(e), "id", "left")
+        .join(E.in_degrees(e), "id", "left")
+        .join(triangle_count_per_vertex(e), "id", "left")
+        .join(pr, "id")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            "pagerank",
+        )
+    )
+
+
 _PPR_TP = "CASE WHEN v.id % 10 = 0 THEN 1.0/scnt ELSE 0.0 END"
 _PPR_CTE = "s AS (SELECT count(*) AS scnt FROM verts WHERE id % 10 = 0)"
 
