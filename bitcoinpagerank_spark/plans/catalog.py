@@ -1796,6 +1796,75 @@ def q_ev_stream_dedup(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+@register(
+    "ev_gapfill",
+    """WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour_bucket, t.event_type, coalesce(agg.n, 0) AS n
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN agg ON agg.hour_bucket = g.hour_bucket
+                 AND agg.event_type = t.event_type""",
+)
+def q_ev_gapfill(spark, sf_dir):
+    """Gap-filled hourly counts (the hypertable/time_bucket_gapfill
+    operator Spark lacks natively): a dense (hour × event_type) grid via
+    sequence()+explode — grid size is (span × #types), tiny next to the
+    event table — left-joined to the sparse aggregate so EMPTY buckets
+    appear with n=0 (downstream anomaly detection needs the zeros)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("lo"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(agg, ["hour_bucket", "event_type"], "left")
+        .select(
+            "hour_bucket", "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "ev_harmonic_mean_udaf",
+    """SELECT event_type,
+              round(count(*) / sum(1.0 / value), 6) AS harmonic_value
+       FROM events WHERE value > 0 GROUP BY event_type""",
+)
+def q_ev_harmonic_mean_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDAF surface (§2.10): per-type harmonic mean of
+    value computed by an Arrow-batched numpy kernel — the template for
+    custom aggregates Catalyst lacks. The UDAF receives each group's
+    column as ONE numpy-backed series (no per-row Python)."""
+    from ..functions.udafs import harmonic_mean
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(harmonic_mean("value"), 6).alias("harmonic_value")
+    )
+
+
 _SEGMENT_SQL = """SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
            count(*) AS n, round(sum(e.value), 2) AS sum_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

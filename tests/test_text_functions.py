@@ -173,3 +173,16 @@ def test_bm25_hand_values(spark):
     assert got[3] == pytest.approx(bm25(1, 1))
     with pytest.raises(ValueError):
         bm25_scores(docs, [], n, avg_len)
+
+
+def test_udaf_geometric_mean(spark):
+    import math
+
+    from bitcoinpagerank_spark.functions.udafs import geometric_mean
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 4.0), ("b", 9.0)], "k string, v double")
+    got = {r["k"]: r["g"] for r in
+           df.groupBy("k").agg(geometric_mean("v").alias("g")).collect()}
+    assert got["a"] == pytest.approx(math.sqrt(4.0))
+    assert got["b"] == pytest.approx(9.0)
