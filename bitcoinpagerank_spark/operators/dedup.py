@@ -396,3 +396,47 @@ def neardup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.45,
+    min_tokens: int = 15,
+    max_tokens: int = 95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end curation keep-list, ONE lazy plan: predicted
+    language match ∧ quality floor ∧ token-length band ∧ exact-dup keeper
+    (min-id per md5). Returns (doc_id, lang_pred, quality, n_tokens) for
+    survivors.
+
+    Plan shape: the scalar predicates are pure Catalyst expressions that
+    evaluate in the scan stage; only the dup-keeper check shuffles (one
+    md5-keyed hash agg + one equi-join back). Every predicate drops rows
+    BEFORE the shuffle, so the dedup join sees the already-filtered
+    minority — the ordering a 100 TB curation pass needs.
+    """
+    from ..functions.text import lang_id, quality_score, token_count
+
+    scored = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).where(
+        (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    keepers = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper_id"))
+    )
+    return (
+        scored.join(keepers, "text_hash")
+        .where(F.col(id_col) == F.col("keeper_id"))
+        .select(id_col, "lang_pred", "quality", "n_tokens")
+    )

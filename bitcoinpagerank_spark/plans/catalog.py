@@ -2020,6 +2020,46 @@ def q_doc_lang_id(spark, sf_dir):
 
 
 @register(
+    "doc_corpus_filter",
+    rf"""WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    pred AS ({_lang_sql()}),
+    scored AS (
+      SELECT t.doc_id, md5(t.text) AS text_hash, p.lang_pred,
+             0.4 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                    / greatest(len(toks), 1))
+           + 0.3 * least(1.0, len(toks) / 100.0)
+           + 0.3 * (length(regexp_replace(lower(t.text), '[^a-z ]', '', 'g'))
+                    / greatest(length(lower(t.text)), 1)) AS quality,
+             len(toks) AS n_tokens
+      FROM t JOIN pred p USING (doc_id)
+    ),
+    keepers AS (
+      SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id
+      FROM documents GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang_pred, round(s.quality, 6) AS quality, s.n_tokens
+    FROM scored s JOIN keepers k USING (text_hash)
+    WHERE s.lang_pred = 'en' AND s.quality >= 0.45
+      AND s.n_tokens BETWEEN 15 AND 95 AND s.doc_id = k.keeper_id""",
+)
+def q_doc_corpus_filter(spark, sf_dir):
+    """End-to-end curation keep-list: predicted-English ∧ quality ≥ 0.45
+    ∧ 15–95 tokens ∧ exact-dup keeper, one lazy plan (scalar predicates
+    evaluate in the scan stage; only the dup check shuffles)."""
+    from ..operators.dedup import corpus_filter
+
+    res = corpus_filter(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "lang_pred", F.round("quality", 6).alias("quality"), "n_tokens"
+    )
+
+
+@register(
     "doc_lang_confusion",
     f"""WITH pred AS ({_lang_sql()})
     SELECT d.lang, p.lang_pred, count(*) AS n
