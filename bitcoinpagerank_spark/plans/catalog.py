@@ -1643,6 +1643,35 @@ def q_ev_tumbling_window(spark, sf_dir):
 
 
 @register(
+    "ev_props_json",
+    """SELECT event_type,
+              count(*) AS n,
+              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+              max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       FROM events
+       WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+       GROUP BY event_type""",
+)
+def q_ev_props_json(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON props column with the
+    built-in schema-explicit from_json (JVM-side Jackson — no Python, no
+    inference pass), filter on the extracted field, aggregate. The
+    canonical pattern for event payloads that never got a real schema."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "ev_retention",
     """WITH act AS (
       SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
