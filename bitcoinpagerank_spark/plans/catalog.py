@@ -1565,6 +1565,55 @@ def q_rel_q3(spark, sf_dir):
 
 
 @register(
+    "rel_date_parts",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+              CAST(quarter(o_orderdate) AS INT) AS q,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def q_rel_date_parts(spark, sf_dir):
+    """Calendar rollup (year/quarter extraction) — the date-function
+    family the reference lacks entirely (its timestamps are strings)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "rel_fuzzy_match",
+    """SELECT a.source AS src_a, b.source AS src_b,
+              levenshtein(a.source, b.source) AS dist
+       FROM (SELECT DISTINCT source FROM documents) a
+       JOIN (SELECT DISTINCT source FROM documents) b
+         ON a.source < b.source
+       WHERE levenshtein(a.source, b.source) <= 1""",
+)
+def q_rel_fuzzy_match(spark, sf_dir):
+    """Fuzzy string matching (edit distance ≤ 1) over the distinct source
+    names — the entity-resolution primitive; the pair join runs on the
+    DISTINCT set (dimension-sized), never the raw table."""
+    s = _t(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b",
+            F.levenshtein("src_a", "src_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+
+
+@register(
     "rel_running_total",
     """SELECT o_orderkey, o_custkey,
               round(sum(o_totalprice) OVER (
