@@ -253,3 +253,43 @@ def skipgram_pairs(steps: DataFrame, window: int = 2) -> DataFrame:
             (F.col("b_step") - F.col("a_step")).cast("long").alias("offset"),
         )
     )
+
+
+NEG_A = 2_654_435_761  # Knuth multiplicative-hash constant (fits int64 ops)
+NEG_B = 40_503
+NEG_C = 97
+
+
+def skipgram_negatives(
+    spark,
+    edges: DataFrame,
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(center, j, neg) — k deterministic negative samples per vertex for
+    skip-gram training: neg = LCG(center, j) mod n over the raw id space,
+    inner-joined to the vertex set so only real vertices survive (the
+    standard word2vec scheme does not exclude true neighbors — at web
+    scale the collision probability is degree/|V| ≈ 0; determinism via
+    the LCG makes the sample oracle-replayable, rand() would not be).
+
+    Plan: one sequence()+explode fan-out (k rows per vertex) + one
+    id-keyed semi-style join — no shuffle beyond the join."""
+    from .edges import vertices
+
+    verts = vertices(edges)
+    n = verts.count()
+    if n == 0:
+        raise ValueError("negative sampling on an empty graph")
+    cand = verts.select(F.col("id").alias("center")).select(
+        "center", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    ).select(
+        "center",
+        "j",
+        (
+            (F.col("center") * NEG_A + F.col("j") * NEG_B + NEG_C) % n
+        ).alias("neg"),
+    )
+    return cand.join(
+        verts.select(F.col("id").alias("neg")), "neg", "inner"
+    ).select("center", "j", "neg")

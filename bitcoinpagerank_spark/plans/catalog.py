@@ -3740,6 +3740,27 @@ def _skipgram_oracle_sql(walk_length: int = 3, window: int = 2) -> str:
     )
 
 
+@register(
+    "g_skipgram_negatives",
+    f"""WITH {EDGES_CTE},
+    vc AS (SELECT count(*) AS vcnt FROM verts),
+    j AS (SELECT unnest(generate_series(0, 2)) AS j),
+    cand AS (
+      SELECT v.id AS center, j.j,
+             (v.id * 2654435761 + j.j * 40503 + 97) % vcnt AS neg
+      FROM verts v CROSS JOIN vc CROSS JOIN j
+    )
+    SELECT c.center, c.j, c.neg
+    FROM cand c JOIN verts v2 ON v2.id = c.neg""",
+)
+def q_skipgram_negatives(spark, sf_dir):
+    """k=3 deterministic negative samples per vertex (word2vec negative
+    sampling without neighbor exclusion; LCG draw → oracle-replayable)."""
+    from ..operators.walks import skipgram_negatives
+
+    return skipgram_negatives(spark, doc_edges(spark, sf_dir), k=3)
+
+
 @register("g_skipgram_pairs", _skipgram_oracle_sql(3, 2))
 def q_skipgram_pairs(spark, sf_dir):
     """Skip-gram (center, context, offset) counts from the length-3
