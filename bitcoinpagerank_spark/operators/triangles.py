@@ -132,3 +132,28 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(0.0)
         .alias("lcc"),
     )
+
+
+def rectangle_count(edges: DataFrame) -> DataFrame:
+    """1-row (n_wedge_pairs, n_rectangles): 4-cycle count via wedge
+    pairing — wedges a–m–b grouped by unordered endpoints (a < b), each
+    group of w wedges closes C(w,2) endpoint pairs, and every 4-cycle is
+    counted at BOTH of its opposite-vertex pairs, hence the final /2.
+
+    The wedge join is Σ deg² — at web scale run it on the degree-capped
+    or oriented edge set (same mitigation as linkpred's max_pivot_degree);
+    exact here because the doc fixture graphs are near-regular."""
+    sym = undirected_view(edges)
+    wedges = (
+        sym.select(F.col(SRC).alias("m"), F.col(DST).alias("a"))
+        .join(sym.select(F.col(SRC).alias("m"), F.col(DST).alias("b")), "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return wedges.agg(
+        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("n_wedge_pairs")
+    ).select(
+        "n_wedge_pairs",
+        (F.col("n_wedge_pairs") / 2).cast("long").alias("n_rectangles"),
+    )

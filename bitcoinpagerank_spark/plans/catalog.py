@@ -484,6 +484,69 @@ def q_triangle_estimate(spark, sf_dir):
 
 
 @register(
+    "g_louvain_move1",
+    f"""WITH {EDGES_CTE},
+    lund AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    lsym AS (SELECT u AS a, v AS b FROM lund UNION ALL SELECT v, u FROM lund),
+    ldeg AS (SELECT a AS id, count(*) AS k FROM lsym GROUP BY a),
+    lm AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM lsym),
+    nbr AS (
+      SELECT s.a AS id, s.b AS j, di.k AS k_i, dj.k AS k_j,
+             row_number() OVER (PARTITION BY s.a ORDER BY dj.k, s.b) AS rn
+      FROM lsym s
+      JOIN ldeg di ON di.id = s.a
+      JOIN ldeg dj ON dj.id = s.b
+    )
+    SELECT n.id,
+           CASE WHEN n.k_i * n.k_j < 2 * lm.m THEN n.j ELSE n.id END
+             AS community,
+           n.k_i * n.k_j < 2 * lm.m AS moved,
+           round(CASE WHEN n.k_i * n.k_j < 2 * lm.m
+                 THEN (1.0 - n.k_i * n.k_j / (2.0 * lm.m)) / lm.m
+                 ELSE 0.0 END, 9) AS delta_q
+    FROM nbr n CROSS JOIN lm WHERE n.rn = 1""",
+)
+def q_louvain_move1(spark, sf_dir):
+    """One synchronous Louvain move phase from singletons: each vertex
+    adopts the neighbor community with max modularity gain (positive
+    gains only) — integer-arithmetic argmax, exactly SQL-replayable."""
+    from ..operators.community import louvain_move_round
+
+    return louvain_move_round(spark, doc_edges(spark, sf_dir))
+
+
+@register(
+    "g_rectangle_count",
+    f"""WITH {EDGES_CTE},
+    rund AS (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    rsym AS (SELECT u AS c, v AS n FROM rund UNION ALL SELECT v, u FROM rund),
+    wp AS (
+      SELECT s1.n AS a, s2.n AS b, count(*) AS w
+      FROM rsym s1 JOIN rsym s2 ON s1.c = s2.c AND s1.n < s2.n
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(w * (w - 1) / 2) AS BIGINT) AS n_wedge_pairs FROM wp
+    )
+    SELECT n_wedge_pairs,
+           CAST(n_wedge_pairs / 2 AS BIGINT) AS n_rectangles
+    FROM tot""",
+)
+def q_rectangle_count(spark, sf_dir):
+    """4-cycle (rectangle) count via wedge pairing — the second motif
+    beyond triangles (bipartite-core / link-farm signal in web graphs)."""
+    from ..operators.triangles import rectangle_count
+
+    return rectangle_count(doc_edges(spark, sf_dir))
+
+
+@register(
     "g_component_sizes",
     f"""WITH RECURSIVE {EDGES_CTE},
     und AS (

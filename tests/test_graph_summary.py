@@ -57,3 +57,32 @@ def test_eccentricity_and_effective_diameter(spark):
     assert row["n_pairs"] == 3
     assert row["diameter_lb"] == 2
     assert row["effective_diameter"] == pytest.approx(1.8)
+
+
+def test_rectangle_count(spark):
+    from bitcoinpagerank_spark.operators.triangles import rectangle_count
+
+    square = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    row = rectangle_count(square).collect()[0]
+    assert row["n_wedge_pairs"] == 2 and row["n_rectangles"] == 1
+    tri = edges_df(spark, G_CYCLE)
+    row = rectangle_count(tri).collect()[0]
+    assert row["n_rectangles"] == 0
+    # K4 contains 3 distinct 4-cycles
+    k4 = edges_df(spark, [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b])
+    assert rectangle_count(k4).collect()[0]["n_rectangles"] == 3
+
+
+def test_louvain_move_round_star(spark):
+    from bitcoinpagerank_spark.operators.community import louvain_move_round
+    from tests.conftest import G_STAR
+
+    rows = {r["id"]: r for r in
+            louvain_move_round(spark, edges_df(spark, G_STAR)).collect()}
+    # leaves (deg 1) join the hub's community: 1*4 < 2m=8
+    for leaf in (2, 3, 4, 5):
+        assert rows[leaf]["moved"] and rows[leaf]["community"] == 1
+        assert rows[leaf]["delta_q"] == pytest.approx((1 - 4 / 8) / 4)
+    # the hub moves toward its min-degree (min-id) neighbor — chains are
+    # expected in the synchronous phase
+    assert rows[1]["moved"] and rows[1]["community"] == 2
