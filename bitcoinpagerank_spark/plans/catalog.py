@@ -546,6 +546,46 @@ def q_rectangle_count(spark, sf_dir):
     return rectangle_count(doc_edges(spark, sf_dir))
 
 
+def _wl_sql(rounds: int = 2) -> str:
+    from ..operators.wl import WL_A, WL_B, WL_P
+
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "wund AS (SELECT DISTINCT least(src_id, dst_id) AS u,"
+        " greatest(src_id, dst_id) AS v FROM edges),",
+        "wsym AS (SELECT u AS a, v AS b FROM wund UNION ALL SELECT v, u FROM wund),",
+        "wl0 AS (SELECT a AS id, count(*) AS lbl FROM wsym GROUP BY a),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""wnb{r} AS (
+  SELECT s.a AS id, l.lbl AS nlbl,
+         row_number() OVER (PARTITION BY s.a ORDER BY l.lbl) AS j
+  FROM wsym s JOIN wl{r-1} l ON l.id = s.b
+),
+wsum{r} AS (
+  SELECT id,
+         sum((((j * {WL_B} + 1) % {WL_P}) * nlbl) % {WL_P}) AS s
+  FROM wnb{r} GROUP BY id
+),
+wl{r} AS (
+  SELECT w.id, (w.lbl * {WL_A} + s.s) % {WL_P} AS lbl
+  FROM wl{r-1} w JOIN wsum{r} s USING (id)
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id, lbl AS fingerprint FROM wl{rounds}"
+
+
+@register("g_wl_fingerprint_r2", _wl_sql(2))
+def q_wl_fingerprint_r2(spark, sf_dir):
+    """Weisfeiler-Lehman structural fingerprints, 2 refinement rounds —
+    the graph-dedup / isomorphism-screening primitive."""
+    from ..operators.wl import wl_fingerprints
+
+    return wl_fingerprints(spark, doc_edges(spark, sf_dir), rounds=2)
+
+
 @register(
     "g_component_sizes",
     f"""WITH RECURSIVE {EDGES_CTE},
