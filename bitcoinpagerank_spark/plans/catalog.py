@@ -546,6 +546,87 @@ def q_rectangle_count(spark, sf_dir):
     return rectangle_count(doc_edges(spark, sf_dir))
 
 
+def _louvain_sql(rounds: int = 2) -> str:
+    """Unrolled synchronous Louvain move rounds (parity-gated, integer
+    score2 — mirrors operators/community.py:louvain_communities exactly)."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "lund AS (SELECT DISTINCT least(src_id, dst_id) AS u,"
+        " greatest(src_id, dst_id) AS v FROM edges),",
+        "lsym AS (SELECT u AS a, v AS b FROM lund UNION ALL SELECT v, u FROM lund),",
+        "ldeg AS (SELECT a AS id, count(*) AS k FROM lsym GROUP BY a),",
+        "lm AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM lsym),",
+        "cm0 AS (SELECT id, id AS community FROM ldeg),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""csum{r} AS (
+  SELECT community, sum(k) AS ctot
+  FROM cm{r} JOIN ldeg USING (id) GROUP BY community
+),
+kic{r} AS (
+  SELECT s.a AS id, c.community AS c, count(*) AS kic
+  FROM lsym s JOIN cm{r} c ON c.id = s.b GROUP BY 1, 2
+),
+kc{r} AS (
+  SELECT k.id, k.c, k.kic, cm.community AS cur
+  FROM kic{r} k JOIN cm{r} cm USING (id)
+),
+stay{r} AS (
+  SELECT cm.id, cm.community AS c, 0 AS kic, cm.community AS cur
+  FROM cm{r} cm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kc{r} x WHERE x.id = cm.id AND x.c = cm.community
+  )
+),
+cand{r} AS (SELECT * FROM kc{r} UNION ALL SELECT * FROM stay{r}),
+sc{r} AS (
+  SELECT cd.id, cd.c, cd.cur,
+         2 * lm.m * cd.kic
+           - d.k * (cs.ctot - CASE WHEN cd.c = cd.cur THEN d.k ELSE 0 END)
+           AS score2
+  FROM cand{r} cd
+  JOIN ldeg d ON d.id = cd.id
+  JOIN csum{r} cs ON cs.community = cd.c
+  CROSS JOIN lm
+),
+pick{r} AS (
+  SELECT id, c, cur,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY score2 DESC,
+                    CASE WHEN c = cur THEN 0 ELSE 1 END, c) AS rn
+  FROM sc{r}
+),
+cm{r + 1} AS (
+  SELECT id,
+         CASE WHEN (id + {r}) % 2 = 0 THEN c ELSE cur END AS community
+  FROM pick{r} WHERE rn = 1
+),"""
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"\nSELECT id, community FROM cm{rounds}"
+
+
+@register("g_louvain_r2", _louvain_sql(2))
+def q_louvain_r2(spark, sf_dir):
+    """Two parity-gated synchronous Louvain move rounds (exact
+    integer-arithmetic contract; convergence run is g_louvain_converged)."""
+    from ..operators.community import louvain_communities
+
+    res = louvain_communities(spark, doc_edges(spark, sf_dir), max_rounds=2)
+    return res.communities
+
+
+@register("g_louvain_converged", None)
+def q_louvain_converged(spark, sf_dir):
+    """Louvain to the two-quiet-rounds fixpoint (unbounded rounds —
+    rows-only here; exact python-replay oracle in pytest)."""
+    from ..operators.community import louvain_communities
+
+    return louvain_communities(spark, doc_edges(spark, sf_dir)).communities
+
+
 def _wl_sql(rounds: int = 2) -> str:
     from ..operators.wl import WL_A, WL_B, WL_P
 
