@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship query (PageRank to convergence on the
 deterministic documents-derived link graph at sf0.001, top-20 by score).
 ``queries()`` / ``oracle_sql()`` expose the full operator catalog
-(bitcoinpagerank_spark/plans/catalog.py): 121 DuckDB-verifiable operators
-plus 5 rows-only entries for the non-SQL-expressible approximate/iterative
+(bitcoinpagerank_spark/plans/catalog.py): 126 DuckDB-verifiable operators
+plus 6 rows-only entries for the non-SQL-expressible approximate/iterative
 ops (each of those is oracle-tested in pytest instead).
 """
 
