@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "etl", "pagerank", "components", "scc", "bfs", "walks",
         "labelprop", "triangles", "topk", "ktruss", "harmonic", "linkpred",
-        "mis", "coloring", "sssp", "centrality",
+        "mis", "coloring", "sssp", "centrality", "louvain",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -269,6 +269,19 @@ def main(argv: list[str] | None = None) -> int:
             res.distances.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"rounds": res.rounds, "converged": res.converged,
                           "reached": res.distances.count()}))
+        return 0
+
+    if args.command == "louvain":
+        from .operators.community import louvain_communities
+
+        res = louvain_communities(
+            spark, spark.read.parquet(args.input),
+            max_rounds=min(args.max_iter, 20), num_partitions=args.partitions)
+        if args.output:
+            res.communities.write.mode("overwrite").parquet(args.output)
+        n_comm = res.communities.select("community").distinct().count()
+        print(json.dumps({"rounds": res.rounds, "converged": res.converged,
+                          "n_communities": n_comm}))
         return 0
 
     if args.command == "centrality":

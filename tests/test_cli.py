@@ -150,3 +150,12 @@ def test_source_format_round_trips(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         orc.where("o_orderkey = 7").explain()
     assert "PushedFilters: [" in buf.getvalue()
+
+
+def test_cli_louvain(spark, tmp_path):
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (9, 7)])
+    path = str(tmp_path / "edges_lv")
+    edges.write.parquet(path)
+    out = json.loads(_cli(["louvain", "--input", path]))
+    assert out["converged"] is True
+    assert out["n_communities"] == 2
