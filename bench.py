@@ -141,6 +141,9 @@ def main() -> None:
         "rel_asof_join",
         "doc_tfidf_top",
         "doc_neardup_clusters",
+        "g_louvain_r2",
+        "g_wl_fingerprint_r2",
+        "g_mis_r2",
     ]:
         timed(f"q_{name}", lambda n=name: cat[n](spark, sf_dir).count())
 

@@ -20,6 +20,7 @@ SURVEY.md §3):
   coloring   edges parquet → (id, color) parquet (iterated-MIS greedy)
   sssp       edges parquet → (id, dist) parquet from --sources[0]
   centrality edges parquet → scores parquet (--variant katz|eigenvector|salsa)
+  louvain    edges parquet → (id, community) parquet (synchronous Louvain)
 """
 
 from __future__ import annotations
