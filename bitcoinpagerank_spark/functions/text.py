@@ -284,3 +284,38 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.sum("part").alias("score"))
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logprob) — per-document cross-entropy under
+    the corpus's own unigram LM: avg over tokens of −ln(freq(w)/total).
+    The perplexity-style quality filter (high value ⇒ rare-token soup ⇒
+    boilerplate/garbage candidate).
+
+    ``total_tokens`` is a catalog statistic (exact integer, so both
+    engines derive bit-identical probabilities). Same two-scan shape as
+    tfidf: the vocabulary-sized frequency table broadcasts back onto the
+    exploded token stream; the per-doc agg is map-side combined.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(freq, "term")
+        .select(
+            "id",
+            (-F.log(F.col("tf") / F.lit(float(total_tokens)))).alias("nlp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("nlp").alias("avg_neg_logprob"),
+        )
+    )

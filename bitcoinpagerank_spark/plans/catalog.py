@@ -2209,6 +2209,35 @@ def q_doc_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "doc_unigram_logprob",
+    r"""WITH utoks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    ufreq AS (SELECT term, count(*) AS tf FROM utoks GROUP BY 1),
+    utot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM utoks)
+    SELECT t.id, count(*) AS n_tokens,
+           round(avg(-ln(f.tf / (SELECT total FROM utot))), 6)
+             AS avg_neg_logprob
+    FROM utoks t JOIN ufreq f USING (term)
+    GROUP BY t.id""",
+)
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus unigram LM — the
+    perplexity-style curation filter (rare-token soup scores high)."""
+    from ..functions.text import token_count, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(token_count(F.col("text")))).first()[0]
+    res = unigram_logprob(docs, int(total))
+    return res.select(
+        "id", "n_tokens", F.round("avg_neg_logprob", 6).alias("avg_neg_logprob")
+    )
+
+
+@register(
     "doc_token_count",
     r"""SELECT doc_id,
               len(list_filter(regexp_split_to_array(lower(text), '\s+'),
