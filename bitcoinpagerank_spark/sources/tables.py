@@ -86,3 +86,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key`` into the
+    session catalog — the co-location lever for repeated joins: two
+    tables bucketed by the same key join with ZERO exchange on either
+    side (and zero sort for sort-merge), because the on-disk layout IS
+    the shuffle. At 100 TB this converts every edges⋈ranks-style join
+    from a full network shuffle into local stitching; the bucket count
+    should match the stored graph's partition plan."""
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket layout intact (plain
+    ``spark.read.parquet`` on the files would DROP the bucket metadata —
+    the catalog table carries it)."""
+    return spark.read.table(table)

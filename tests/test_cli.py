@@ -159,3 +159,37 @@ def test_cli_louvain(spark, tmp_path):
     out = json.loads(_cli(["louvain", "--input", path]))
     assert out["converged"] is True
     assert out["n_communities"] == 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key join with no Exchange in the
+    plan — the co-location contract write_bucketed promises."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from bitcoinpagerank_spark.sources.tables import read_bucketed, write_bucketed
+
+    edges = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    dims = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    write_bucketed(edges, "t_orders_b", "k", buckets=8)
+    write_bucketed(dims, "t_cust_b", "k", buckets=8)
+    a = read_bucketed(spark, "t_orders_b")
+    b = read_bucketed(spark, "t_cust_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        n = joined.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert n == edges.join(dims, "k").count()
+    assert "Exchange" not in plan, plan
