@@ -244,3 +244,23 @@ def test_neardup_clusters_transitive(spark):
         0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True), 6: (5, False),
     }
+
+
+def test_corpus_filter_hand_case(spark):
+    from bitcoinpagerank_spark.operators.dedup import corpus_filter
+
+    base = "the data is good and the spark is fast for all of you today now"
+    docs = spark.createDataFrame(
+        [
+            (1, base),            # keeper of the dup pair
+            (5, base),            # exact dup, higher id -> dropped
+            (2, "das ist und der die"),           # predicted 'de'
+            (3, "a b"),                            # too short
+            (4, " ".join(["zz"] * 30)),            # no stopwords -> low quality
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           corpus_filter(docs, min_tokens=5, max_tokens=50).collect()}
+    assert set(out) == {1}
+    assert out[1]["lang_pred"] == "en" and out[1]["n_tokens"] == 15

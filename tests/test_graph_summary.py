@@ -86,3 +86,21 @@ def test_louvain_move_round_star(spark):
     # the hub moves toward its min-degree (min-id) neighbor — chains are
     # expected in the synchronous phase
     assert rows[1]["moved"] and rows[1]["community"] == 2
+
+
+def test_skipgram_negatives_contract(spark):
+    from bitcoinpagerank_spark.operators.walks import skipgram_negatives
+
+    df = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    rows = skipgram_negatives(spark, df, k=3).collect()
+    verts = {1, 2, 3, 4}
+    per_center: dict[int, set[int]] = {}
+    for r in rows:
+        assert r["neg"] in verts  # only real vertices survive the join
+        per_center.setdefault(r["center"], set()).add(r["j"])
+    assert set(per_center) <= verts
+    for js in per_center.values():
+        assert js <= {0, 1, 2}
+    # deterministic
+    again = skipgram_negatives(spark, df, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -281,3 +281,17 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     )
     assert {tuple(r) for r in streamed.collect()} == batch
     assert len(batch) > 1  # join is non-vacuous: several segments present
+
+
+def test_gapfill_materializes_empty_buckets(spark):
+    from bitcoinpagerank_spark.plans import catalog
+
+    rows = catalog.queries()["ev_gapfill"](spark, "/root/testdata/sf0.001")
+    data = rows.collect()
+    zeros = [r for r in data if r["n"] == 0]
+    assert zeros, "expected at least one gap-filled zero bucket"
+    # dense grid: every (bucket, type) combination present exactly once
+    import itertools
+    buckets = {r["hour_bucket"] for r in data}
+    types = {r["event_type"] for r in data}
+    assert len(data) == len(buckets) * len(types)
