@@ -149,3 +149,38 @@ def connected_components(
         .select("id", F.coalesce("root", F.col("id")).alias("component"))
     )
     return ComponentsResult(labels, it, converged, metrics)
+
+
+def warm_start_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    prior_labels: DataFrame,
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+) -> ComponentsResult:
+    """Incremental CC for the ADDITIONS-ONLY crawl case: yesterday's
+    (id, component) labels are injected as extra (id → component) edges,
+    which pre-collapses every already-known component to a star around
+    its label before the first large-star/small-star round — re-crawl
+    cost scales with the NEW edges, not the whole graph.
+
+    Soundness: a prior label edge (v, c) connects v to c, and yesterday
+    c was reachable from v; if today's edge set is a SUPERSET of
+    yesterday's (additions only — the crawl-growth regime), that
+    connectivity still holds, so the augmented graph has exactly the
+    same components as today's graph, and the min-id label contract is
+    unchanged (c was the min id of v's old component, so c is in the
+    component anyway). After edge DELETIONS prior labels may merge
+    separated components — run the cold start instead (same function,
+    no prior_labels)."""
+    label_edges = prior_labels.where(
+        F.col("id") != F.col("component")
+    ).select(
+        F.col("id").alias("src_id"), F.col("component").alias("dst_id")
+    )
+    return connected_components(
+        spark,
+        edges.select("src_id", "dst_id").unionByName(label_edges),
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+    )

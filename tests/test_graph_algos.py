@@ -421,3 +421,20 @@ def test_biased_walks_python_replay(spark):
     with _pytest.raises(ValueError):
         biased_walks(spark, edges_df(spark, edges), walk_length=3,
                      w_return=0, w_common=0, w_far=0)
+
+
+def test_warm_start_components_additions_only(spark):
+    from bitcoinpagerank_spark.operators.components import (
+        connected_components,
+        warm_start_components,
+    )
+
+    day1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    day2 = day1 + [(3, 4), (11, 12), (21, 1)]  # growth only
+    prior = connected_components(spark, edges_df(spark, day1)).labels
+    cold = connected_components(spark, edges_df(spark, day2))
+    warm = warm_start_components(spark, edges_df(spark, day2), prior)
+    want = {r["id"]: r["component"] for r in cold.labels.collect()}
+    got = {r["id"]: r["component"] for r in warm.labels.collect()}
+    assert got == want  # identical min-id labels
+    assert warm.iterations <= cold.iterations
