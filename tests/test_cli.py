@@ -177,6 +177,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     dims = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
         F.col("c_custkey").alias("k"), "c_name"
     )
+    # a fresh session's in-memory catalog forgets the tables but their
+    # warehouse directories survive — clear both before writing
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_cust_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     write_bucketed(edges, "t_orders_b", "k", buckets=8)
     write_bucketed(dims, "t_cust_b", "k", buckets=8)
     a = read_bucketed(spark, "t_orders_b")
