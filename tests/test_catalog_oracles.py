@@ -66,6 +66,36 @@ def test_query_matches_oracle(spark, con, name):
     assert got == want, f"{name}: value mismatch (first diff: "
 
 
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_output_types_are_hashable(con, name):
+    """Type discipline: DuckDB promotes sum()/arithmetic over BIGINT to
+    HUGEINT, which surfaces through Arrow as decimal128 — the driver's
+    value hash is type-sensitive, so such an oracle red-flags even when
+    every value equals Spark's int64 (the g_wl_fingerprint_r2 r03
+    regression). Assert no oracle ever emits decimal/hugeint types."""
+    import pyarrow as pa
+
+    schema = con.execute(catalog.oracle_sql()[name]).fetch_arrow_table().schema
+    bad = [
+        f.name
+        for f in schema
+        if pa.types.is_decimal(f.type)
+    ]
+    assert not bad, (
+        f"{name}: oracle columns {bad} surface as decimal128 (DuckDB "
+        f"HUGEINT/DECIMAL promotion) — wrap with CAST(... AS BIGINT/DOUBLE)"
+    )
+
+
+def test_driver_window_spends_no_slot_on_rows_only():
+    """The driver value-checks only the first 50 entries of queries();
+    rows-only (no-oracle) entries must never occupy one of those slots."""
+    first50 = list(catalog.queries())[:50]
+    oracled = set(catalog.oracle_sql())
+    wasted = [n for n in first50 if n not in oracled]
+    assert not wasted, f"rows-only entries inside the driver window: {wasted}"
+
+
 def test_rows_only_queries_run(spark):
     for name, fn in catalog.queries().items():
         if name in catalog.oracle_sql():
