@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, auto_partitions, vertices
-from .lineage import group_shuffle_bytes, job_group, next_group
+from .lineage import eager_checkpoint, group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -75,8 +75,11 @@ def hits(
                 .groupBy(F.col(DST).alias("id"))
                 .agg(F.sum("score").alias("raw"))
                 .observe(obs_a, F.sum("raw").alias("s"))
-                .localCheckpoint(eager=True)
             )
+            # stats-resetting checkpoint: each half-step references the
+            # other table's checkpoint, compounding the size estimate
+            # x2/iteration (236 digits after 8 iters measured)
+            a_raw = eager_checkpoint(a_raw)
             sa = float(obs_a.get["s"] or 0.0) or 1.0
         a = verts.join(a_raw, "id", "left").select(
             "id", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(sa)).alias("score")
@@ -89,8 +92,8 @@ def hits(
                 .groupBy(F.col(SRC).alias("id"))
                 .agg(F.sum("score").alias("raw"))
                 .observe(obs_h, F.sum("raw").alias("s"))
-                .localCheckpoint(eager=True)
             )
+            h_raw = eager_checkpoint(h_raw)
             sh = float(obs_h.get["s"] or 0.0) or 1.0
         srb, swb = group_shuffle_bytes(spark, grp)
         h = verts.join(h_raw, "id", "left").select(

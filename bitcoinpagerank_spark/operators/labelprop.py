@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST, undirected_view, vertices
-from .lineage import group_shuffle_bytes, job_group, next_group
+from .lineage import eager_checkpoint, group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -87,8 +87,12 @@ def label_propagation(
                         (F.col("label") != F.col("old")).cast("long")
                     ).alias("changed"),
                 )
-                .localCheckpoint(eager=True)
             )
+            # eager_checkpoint (not plain localCheckpoint): the round plan
+            # references the previous labels checkpoint multiple times, so
+            # the carried size ESTIMATE compounds ~x3/round (2394 digits
+            # after 8 rounds measured) — reset it to the cache's real size
+            new_labels = eager_checkpoint(new_labels)
             changed = int(obs.get["changed"] or 0)
         srb, swb = group_shuffle_bytes(spark, grp)
         new_labels = new_labels.select("id", "label")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import Iterator
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # unique job-group token per loop instance, so getJobIdsForGroup never
 # picks up a previous run's jobs in the same session
@@ -33,6 +33,36 @@ def job_group(spark: SparkSession, group: str, desc: str) -> Iterator[None]:
         yield
     finally:
         spark.sparkContext.setJobGroup(None, None)
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that RESETS Catalyst's size estimate.
+
+    ``localCheckpoint`` truncates the physical lineage but carries the
+    plan's ESTIMATED statistics into the resulting LogicalRDD
+    (``LogicalRDD.fromDataset`` → ``rewriteStatsAndConstraints``), and
+    the size-only estimator multiplies child sizes at every join/union
+    (``SizeInBytesOnlyStatsPlanVisitor.default``). In an iterate loop
+    whose round plan references the previous checkpoint k ≥ 2 times, the
+    estimate's DIGIT COUNT therefore compounds ×k per round — after tens
+    of rounds Catalyst planning drowns in million-digit BigInteger
+    products (observed: Louvain level-2 planning pinning a driver core
+    for minutes on a 155-vertex graph; sizeInBytes had 945 digits after
+    only 6 rounds). PageRank never showed it because its round plan
+    references ranks once (linear digit growth).
+
+    Fix: materialize the frame in the block cache first — the checkpoint
+    then inherits the cache's REAL byte size, resetting the estimate to
+    ground truth every round. Costs one extra vertex-sized cache pass
+    per round; the cache also serves as the checkpoint action's input,
+    so the plan itself still runs once. Any ``observe()`` on ``df``
+    fires during the materializing count()."""
+    cached = df.persist()
+    try:
+        cached.count()  # materialize cache (fires observe metrics)
+        return cached.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
 
 
 def group_shuffle_bytes(spark: SparkSession, group: str) -> tuple[int, int]:

@@ -5,6 +5,12 @@ all undirected-or-flow style). Algorithm (FW-BW coloring, the standard
 distributed SCC shape):
 
   repeat until no vertices remain:
+    TRIM: iteratively peel vertices with zero in-degree or zero
+    out-degree in the remaining subgraph — each is a singleton SCC (a
+    vertex with no incoming edge cannot lie on a cycle), and removing
+    one can expose the next, so the peel cascades to a fixpoint. This
+    is the standard FW-BW-Trim pre-pass: on crawl frontiers most
+    vertices are trivial SCCs and never pay for a closure round.
     f(v) = min vertex id that can REACH v   (forward min-label closure)
     b(v) = min vertex id v can reach        (backward closure)
     every v with f(v) == b(v) is settled: its SCC id is that label
@@ -35,7 +41,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import SRC, DST
-from .lineage import group_shuffle_bytes, job_group, next_group
+from .lineage import eager_checkpoint, group_shuffle_bytes, job_group, next_group
 
 
 @dataclass
@@ -82,8 +88,11 @@ def _min_label_closure(
                         "changed"
                     ),
                 )
-                .localCheckpoint(eager=True)
             )
+            # stats-resetting checkpoint: the closure round references the
+            # previous label checkpoint twice (join + merge), compounding
+            # the carried size estimate x2/round
+            new_lab = eager_checkpoint(new_lab)
             changed = int(obs.get["changed"] or 0)
         srb, swb = group_shuffle_bytes(spark, grp)
         metrics.append(
@@ -130,6 +139,37 @@ def strongly_connected_components(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        # FW-BW-Trim: cascade-peel trivial SCCs before paying for closures
+        trim_it = 0
+        while True:
+            trim_it += 1
+            t0 = time.monotonic()
+            both = eager_checkpoint(
+                e.select(F.col(SRC).alias("id")).distinct()
+                .join(e.select(F.col(DST).alias("id")).distinct(), "id")
+            )
+            trivial = verts.join(both, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            n_trivial = trivial.count()
+            metrics.append(
+                {"closure": f"trim{rounds}", "iteration": trim_it,
+                 "changed": n_trivial, "wall_sec": time.monotonic() - t0,
+                 "shuffle_read_bytes": 0, "shuffle_write_bytes": 0}
+            )
+            if n_trivial == 0:
+                break
+            settled_frames.append(
+                trivial.select("id", F.col("id").alias("scc"))
+            )
+            verts = both
+            e = eager_checkpoint(
+                e.join(both.withColumnRenamed("id", SRC), SRC, "left_semi")
+                .join(both.withColumnRenamed("id", DST), DST, "left_semi")
+            )
+        if verts.isEmpty():
+            converged = True
+            break
         rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
         f = _min_label_closure(spark, e, verts, f"fwd{rounds}", max_closure_iter, metrics)
         b = _min_label_closure(spark, rev, verts, f"bwd{rounds}", max_closure_iter, metrics)
@@ -152,12 +192,14 @@ def strongly_connected_components(
             converged = True
             break
         verts = remaining
-        e = (
+        e = eager_checkpoint(
             e.join(remaining.withColumnRenamed("id", SRC), SRC, "left_semi")
             .join(remaining.withColumnRenamed("id", DST), DST, "left_semi")
-            .localCheckpoint(eager=True)
         )
-    out = settled_frames[0]
-    for frame in settled_frames[1:]:
-        out = out.unionByName(frame)
+    if settled_frames:
+        out = settled_frames[0]
+        for frame in settled_frames[1:]:
+            out = out.unionByName(frame)
+    else:  # empty graph: trim had nothing and no closure ever ran
+        out = spark.createDataFrame([], "id long, scc long")
     return SccResult(out, rounds, converged, metrics)

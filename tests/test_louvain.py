@@ -92,6 +92,114 @@ def test_louvain_matches_replay(spark, edges):
     assert got == louvain_replay(edges)
 
 
+def weighted_move_replay(und, max_rounds=10):
+    """Python replay of community._weighted_move_loop over a canonical
+    weighted edge dict {(a<=b): w}; self-loops count twice in degrees and
+    are excluded from k_{i,c} (they move with the vertex)."""
+    adj: dict[int, dict[int, int]] = {}
+    k: dict[int, int] = {}
+    for (a, b), w in und.items():
+        if a == b:
+            k[a] = k.get(a, 0) + 2 * w
+            adj.setdefault(a, {})
+            continue
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+        k[a] = k.get(a, 0) + w
+        k[b] = k.get(b, 0) + w
+    m = sum(k.values()) // 2
+    comm = {v: v for v in k}
+    prev_moved = None
+    for r in range(max_rounds):
+        ctot: dict[int, int] = {}
+        for u in k:
+            ctot[comm[u]] = ctot.get(comm[u], 0) + k[u]
+        new = {}
+        moved = 0
+        for v in k:
+            if (v + r) % 2 != 0:
+                new[v] = comm[v]
+                continue
+            kic: dict[int, int] = {}
+            for u, w in adj.get(v, {}).items():
+                kic[comm[u]] = kic.get(comm[u], 0) + w
+            best = None
+            for c in sorted(set(kic) | {comm[v]}):
+                sigma = ctot.get(c, 0) - (k[v] if c == comm[v] else 0)
+                score2 = 2 * m * kic.get(c, 0) - k[v] * sigma
+                key = (-score2, 0 if c == comm[v] else 1, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+            if new[v] != comm[v]:
+                moved += 1
+        comm = new
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+    return comm
+
+
+def louvain_levels_replay(edges, max_levels=5, max_rounds=10):
+    """Python replay of community.louvain_levels: move loop → contract
+    (weights = underlying edge counts, intra edges → self-loops) → repeat."""
+    und: dict[tuple[int, int], int] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        und[(min(s, d), max(s, d))] = 1
+    mapping = {v: v for e in und for v in e}
+    for _level in range(max_levels):
+        comm = weighted_move_replay(und, max_rounds)
+        n_comm = len(set(comm.values()))
+        if n_comm == len(comm):
+            mapping = {v: comm[g] for v, g in mapping.items()}
+            break
+        mapping = {v: comm[g] for v, g in mapping.items()}
+        contracted: dict[tuple[int, int], int] = {}
+        for (a, b), w in und.items():
+            ca, cb = comm[a], comm[b]
+            key = (min(ca, cb), max(ca, cb))
+            contracted[key] = contracted.get(key, 0) + w
+        und = contracted
+    return mapping
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [TWO_CLIQUES, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+     [(1, 2), (1, 3), (1, 4), (1, 5)]],
+    ids=["two_cliques", "path", "star"],
+)
+def test_louvain_levels_matches_replay(spark, edges):
+    from bitcoinpagerank_spark.operators.community import louvain_levels
+
+    res = louvain_levels(spark, edges_df(spark, edges), max_levels=2)
+    got = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert got == louvain_levels_replay(edges, max_levels=2)
+
+
+def test_louvain_levels_hierarchy_properties(spark):
+    """Modularity is non-decreasing level over level; the two-clique
+    fixture ends with each clique in one community, cliques separate."""
+    from bitcoinpagerank_spark.operators.community import louvain_levels
+
+    res = louvain_levels(spark, edges_df(spark, TWO_CLIQUES), max_levels=4)
+    qs = [mt["modularity"] for mt in res.level_metrics]
+    assert all(b >= a - 1e-12 for a, b in zip(qs, qs[1:])), qs
+    comm = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[7] == comm[8] == comm[9]
+    assert comm[1] != comm[7]
+    # the hierarchy's final partition is at least as good as singletons
+    assert modularity(TWO_CLIQUES, comm) > modularity(
+        TWO_CLIQUES, {v: v for v in comm}
+    )
+    # level sizes shrink monotonically
+    sizes = [mt["n_vertices"] for mt in res.level_metrics]
+    assert sizes == sorted(sizes, reverse=True)
+
+
 def test_louvain_separates_cliques(spark):
     res = louvain_communities(spark, edges_df(spark, TWO_CLIQUES))
     comm = {r["id"]: r["community"] for r in res.communities.collect()}
