@@ -155,6 +155,7 @@ def warm_start_components(
     spark: SparkSession,
     edges: DataFrame,
     prior_labels: DataFrame,
+    prior_edges: DataFrame | None = None,
     max_iter: int = 50,
     num_partitions: int | None = None,
 ) -> ComponentsResult:
@@ -172,7 +173,31 @@ def warm_start_components(
     unchanged (c was the min id of v's old component, so c is in the
     component anyway). After edge DELETIONS prior labels may merge
     separated components — run the cold start instead (same function,
-    no prior_labels)."""
+    no prior_labels).
+
+    Pass ``prior_edges`` (yesterday's edge table) to ENFORCE the
+    additions-only contract at runtime: raises ``ValueError`` if any
+    prior edge (as an undirected pair) is absent from today's edges —
+    the case where warm-start labels can silently merge components that
+    deletions have separated. The check is one normalized anti-join,
+    cheap next to the CC rounds it guards."""
+    if prior_edges is not None:
+        def _canon(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.least("src_id", "dst_id").alias("a"),
+                F.greatest("src_id", "dst_id").alias("b"),
+            ).where(F.col("a") != F.col("b")).distinct()
+
+        deleted = _canon(prior_edges).join(_canon(edges), ["a", "b"], "left_anti")
+        n_deleted = deleted.limit(1).count()
+        if n_deleted > 0:
+            sample = deleted.limit(5).collect()
+            raise ValueError(
+                "warm_start_components requires additions-only growth: "
+                f"prior edges missing from today's edge set, e.g. "
+                f"{[(r['a'], r['b']) for r in sample]} — run the cold "
+                "start (connected_components) after deletions"
+            )
     label_edges = prior_labels.where(
         F.col("id") != F.col("component")
     ).select(

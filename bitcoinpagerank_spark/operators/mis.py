@@ -147,7 +147,8 @@ def maximal_independent_set(
 
 @dataclass
 class ColoringResult:
-    colors: DataFrame  # (id, color int) — complete assignment
+    colors: DataFrame  # (id, color int); color -1 = uncolored (only when
+    # converged is False — max_colors exhausted before the residual emptied)
     n_colors: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
@@ -230,5 +231,12 @@ def greedy_coloring(
             {"color": c, "assigned": assigned, "mis_rounds": res.rounds,
              "wall_sec": time.monotonic() - t0}
         )
+    if not converged:
+        # max_colors exhausted: emit leftovers with sentinel color -1 so
+        # the output is always a COMPLETE vertex assignment (callers can
+        # filter color >= 0; silently absent rows hid the truncation)
+        colored = colored.unionByName(
+            uncolored.withColumn("color", F.lit(-1))
+        ).localCheckpoint(eager=True)
     uncolored.unpersist()
     return ColoringResult(colored, n_colors, converged, metrics)

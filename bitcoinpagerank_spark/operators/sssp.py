@@ -1,21 +1,31 @@
-"""Weighted single-source shortest paths — distributed Bellman-Ford.
+"""Weighted single-source shortest paths — frontier-limited Bellman-Ford.
 
 Not in the reference (whose only traversal is PageRank); breadth op in
-the bfs.py family, upgraded to nonnegative edge weights. Per round the
-WHOLE current distance table relaxes across the edge table:
+the bfs.py family, upgraded to nonnegative edge weights. Per round only
+the FRONTIER — vertices whose distance improved in the previous round —
+pushes relaxations across the edge table:
 
-    d'(v) = min( d(v),  min_{u→v} d(u) + w(u,v) )
+    d'(v) = min( d(v),  min_{u→v, u ∈ frontier} d(u) + w(u,v) )
 
-so after k rounds d(v) is exactly the cheapest path using ≤ k edges —
-the property the fixed-round DuckDB oracle unrolls (a hop-bounded
-recursive CTE). With nonnegative weights the fixpoint is Dijkstra's
-answer; convergence (zero improvements in a round) is detected by an
-``observe()``d improvement count riding the round's eager
-localCheckpoint — one job per round, the pagerank.py loop contract.
+Semantics are identical to full-table Bellman-Ford: a vertex whose
+distance did not change in round r−1 proposes exactly the candidates it
+already proposed when it last improved, and those were min-merged then —
+so after k rounds d(v) is still exactly the cheapest path using ≤ k
+edges, the property the fixed-round DuckDB oracle unrolls (a hop-bounded
+recursive CTE). The cost drops from k·|E| join work to Σ_r |frontier_r|·deg
+— on diameter-dozens web graphs where late frontiers are a sliver of V,
+this is the difference between hours and minutes at 100 TB (the same
+frontier contract ``bfs.py`` has always used).
 
-Plan per round: one equi-join (edges ⋈ dists on src, the edge table
+With nonnegative weights the fixpoint is Dijkstra's answer; convergence
+(zero improvements in a round) is detected by an ``observe()``d
+improvement count riding the round's eager localCheckpoint — one job per
+round, the pagerank.py loop contract. A second observe on the pre-agg
+candidate stream records per-round relaxed-edge counts in the metrics.
+
+Plan per round: one equi-join (edges ⋈ frontier on src, the edge table
 partitioned once by src) + one by-dst min-aggregate + one outer merge
-with the previous table — all vertex- or edge-sized, no driver data.
+with the previous table — frontier- or vertex-sized, no driver data.
 """
 
 from __future__ import annotations
@@ -28,6 +38,18 @@ from pyspark.sql import functions as F
 
 from .edges import SRC, DST, auto_partitions
 from .lineage import group_shuffle_bytes, job_group, next_group
+
+
+def _obs_count(obs: Observation, key: str) -> int:
+    """An ``observe()`` node whose whole subtree produced zero rows can be
+    skipped by AQE (no task ever runs the stage — seen when the frontier's
+    last vertex has no out-edges), in which case the JVM metrics row is
+    empty and ``Observation.get`` trips a JVM assertion. Zero executed
+    rows means the count IS zero."""
+    try:
+        return int(obs.get[key] or 0)
+    except Exception:
+        return 0
 
 
 @dataclass
@@ -74,6 +96,7 @@ def sssp(
     dist = spark.createDataFrame(
         [(int(source), 0.0)], "id long, dist double"
     ).repartition(num_partitions, "id").localCheckpoint(eager=True)
+    frontier = dist  # vertices improved last round — only they relax
 
     metrics: list[dict] = []
     converged = False
@@ -81,12 +104,13 @@ def sssp(
     for r in range(max_rounds):
         t0 = time.monotonic()
         grp = next_group("sssp", r)
-        relaxed = (
-            e.join(dist.select(F.col("id").alias(SRC), "dist"), SRC)
+        obs_relax = Observation(f"sssp_relax_{r}")
+        cand = (
+            e.join(frontier.select(F.col("id").alias(SRC), "dist"), SRC)
             .select(F.col(DST).alias("id"), (F.col("dist") + F.col("w")).alias("cand"))
-            .groupBy("id")
-            .agg(F.min("cand").alias("cand"))
+            .observe(obs_relax, F.count(F.lit(1)).alias("n_relaxed"))
         )
+        relaxed = cand.groupBy("id").agg(F.min("cand").alias("cand"))
         obs = Observation(f"sssp_{r}")
         with job_group(spark, grp, "SSSP relax round"):
             merged = (
@@ -105,12 +129,15 @@ def sssp(
                 .observe(obs, F.sum("improved").alias("n_improved"))
                 .localCheckpoint(eager=True)
             )
-            improved = int(obs.get["n_improved"] or 0)
+            improved = int(obs.get["n_improved"] or 0)  # outer node: always fires
+            n_relaxed = _obs_count(obs_relax, "n_relaxed")
         dist = merged.select("id", "dist")
+        # next frontier: filter on the already-materialized checkpoint
+        frontier = merged.where(F.col("improved") == 1).select("id", "dist")
         srb, swb = group_shuffle_bytes(spark, grp)
         rounds = r + 1
         metrics.append(
-            {"round": rounds, "improved": improved,
+            {"round": rounds, "improved": improved, "relaxed_edges": n_relaxed,
              "wall_sec": time.monotonic() - t0,
              "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )

@@ -134,16 +134,36 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
-def rectangle_count(edges: DataFrame) -> DataFrame:
+def rectangle_count(
+    edges: DataFrame, max_wedge_degree: int | None = None
+) -> DataFrame:
     """1-row (n_wedge_pairs, n_rectangles): 4-cycle count via wedge
     pairing — wedges a–m–b grouped by unordered endpoints (a < b), each
     group of w wedges closes C(w,2) endpoint pairs, and every 4-cycle is
     counted at BOTH of its opposite-vertex pairs, hence the final /2.
 
-    The wedge join is Σ deg² — at web scale run it on the degree-capped
-    or oriented edge set (same mitigation as linkpred's max_pivot_degree);
-    exact here because the doc fixture graphs are near-regular."""
+    The wedge join is Σ deg² over wedge midpoints — a 10^6-degree web
+    hub alone contributes 10^12 wedge rows. ``max_wedge_degree`` removes
+    vertices above the cap BEFORE the self-join (the same scale contract
+    as linkpred's ``max_pivot_degree`` and dedup's ``df_cap``): the
+    result is then EXACT on the subgraph induced by vertices of
+    undirected degree ≤ cap — a well-defined estimate, not a silent
+    half-count (filtering midpoints alone would count hub-cornered
+    rectangles at one of their two opposite pairs). Default ``None`` =
+    exact on the full graph."""
     sym = undirected_view(edges)
+    if max_wedge_degree is not None:
+        keep = (
+            sym.groupBy(F.col(SRC).alias("id"))
+            .agg(F.count(F.lit(1)).alias("_wdeg"))
+            .where(F.col("_wdeg") <= max_wedge_degree)
+            .select("id")
+        )
+        sym = (
+            sym.join(keep.withColumnRenamed("id", SRC), SRC, "left_semi")
+            .join(keep.withColumnRenamed("id", DST), DST, "left_semi")
+            .select(SRC, DST)
+        )
     wedges = (
         sym.select(F.col(SRC).alias("m"), F.col(DST).alias("a"))
         .join(sym.select(F.col(SRC).alias("m"), F.col(DST).alias("b")), "m")

@@ -258,6 +258,7 @@ def skipgram_pairs(steps: DataFrame, window: int = 2) -> DataFrame:
 NEG_A = 2_654_435_761  # Knuth multiplicative-hash constant (fits int64 ops)
 NEG_B = 40_503
 NEG_C = 97
+NEG_P31 = 2_147_483_647  # pre-reduction modulus: rank%P31 · NEG_A < 2^63
 
 
 def skipgram_negatives(
@@ -267,29 +268,66 @@ def skipgram_negatives(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """(center, j, neg) — k deterministic negative samples per vertex for
-    skip-gram training: neg = LCG(center, j) mod n over the raw id space,
-    inner-joined to the vertex set so only real vertices survive (the
-    standard word2vec scheme does not exclude true neighbors — at web
-    scale the collision probability is degree/|V| ≈ 0; determinism via
-    the LCG makes the sample oracle-replayable, rand() would not be).
+    skip-gram training. The draw runs over a DENSE vertex rank (0..n−1,
+    by ascending id), not the raw id space: with sparse/hashed 64-bit ids
+    a raw-id draw mostly misses the vertex set (silently yielding fewer
+    than k — often 0 — negatives), and center·NEG_A overflows int64.
+    Here every draw lands on a real vertex, so each vertex gets EXACTLY
+    k negatives, and the pre-reduction rank % 2^31−1 keeps the product
+    under 2^63 for any graph size. (The standard word2vec scheme does not
+    exclude true neighbors — collision probability is degree/|V| ≈ 0;
+    the LCG makes the sample oracle-replayable, rand() would not be.)
 
-    Plan: one sequence()+explode fan-out (k rows per vertex) + one
-    id-keyed semi-style join — no shuffle beyond the join."""
+    Plan: the dense rank reuses the range-partitioned dictionary shape
+    (functions/text.py:token_dictionary) — NO single-partition global
+    window: range-partition by id, one P-row count job → cumulative
+    offsets broadcast back, rank = offset + per-partition row_number.
+    Then one sequence()+explode fan-out (k rows per vertex) + one
+    rank-keyed equi-join back to ids."""
+    from pyspark.sql import Window
+
     from .edges import vertices
 
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = vertices(edges)
-    n = verts.count()
+    # freeze the range partitioning (repartitionByRange samples bounds)
+    ranged = (
+        verts.repartitionByRange(num_partitions, "id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["c"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(counts.values())
     if n == 0:
         raise ValueError("negative sampling on an empty graph")
-    cand = verts.select(F.col("id").alias("center")).select(
-        "center", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    offsets, acc = [], 0
+    for pid in range(num_partitions):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    offsets_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("id")
+    ranked = ranged.join(F.broadcast(offsets_df), "pid").select(
+        "id",
+        (F.col("off") + F.row_number().over(w) - 1).cast("long").alias("rank"),
+    )
+    cand = ranked.select(
+        F.col("id").alias("center"),
+        "rank",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long"))
+        ).alias("j"),
     ).select(
         "center",
         "j",
         (
-            (F.col("center") * NEG_A + F.col("j") * NEG_B + NEG_C) % n
-        ).alias("neg"),
+            ((F.col("rank") % NEG_P31) * NEG_A + F.col("j") * NEG_B + NEG_C) % n
+        ).alias("draw"),
     )
     return cand.join(
-        verts.select(F.col("id").alias("neg")), "neg", "inner"
+        ranked.select(F.col("rank").alias("draw"), F.col("id").alias("neg")),
+        "draw",
     ).select("center", "j", "neg")

@@ -211,21 +211,31 @@ class TableStore:
         """Rewrite a table to ``target_partitions`` files (small-file
         compaction — streaming appends leave one file per micro-batch,
         which at scale turns scans into metadata storms). Parquet backend:
-        read → coalesce → write to ``<name>__compact`` → atomic-ish swap
-        via FS rename. Iceberg: a rewrite commit on the same identifier."""
+        read → coalesce → write to ``<name>__compact`` → two-step rename
+        swap: the live dir is renamed ASIDE (``<name>__old``) before the
+        compacted dir takes its place, so a failed swap leaves the
+        original data recoverable (a delete-then-rename would have
+        already destroyed it). Iceberg: a rewrite commit on the same
+        identifier (atomic by the format's snapshot semantics)."""
         loc = self.table_path(name)
         if self.backend == "iceberg":
             df = self.spark.read.table(loc).coalesce(target_partitions)
             df.writeTo(loc).using("iceberg").createOrReplace()
             return loc
-        tmp_name = f"{name}__compact"
-        tmp_loc = self.table_path(tmp_name)
+        tmp_loc = self.table_path(f"{name}__compact")
+        old_loc = self.table_path(f"{name}__old")
         self.spark.read.parquet(loc).coalesce(target_partitions).write.mode(
             "overwrite"
         ).parquet(tmp_loc)
         fs, dest, jvm = self._fs_and_path(loc)
-        tmp = jvm.org.apache.hadoop.fs.Path(tmp_loc)
-        fs.delete(dest, True)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        tmp, old = hpath(tmp_loc), hpath(old_loc)
+        fs.delete(old, True)  # leftover from an earlier crashed swap
+        if not fs.rename(dest, old):
+            raise IOError(f"compaction swap failed moving {loc} aside")
         if not fs.rename(tmp, dest):
+            # roll the original back into place before failing
+            fs.rename(old, dest)
             raise IOError(f"compaction swap failed for {loc}")
+        fs.delete(old, True)
         return loc

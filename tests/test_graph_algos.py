@@ -438,3 +438,40 @@ def test_warm_start_components_additions_only(spark):
     got = {r["id"]: r["component"] for r in warm.labels.collect()}
     assert got == want  # identical min-id labels
     assert warm.iterations <= cold.iterations
+
+
+def test_warm_start_components_guard_rejects_deletions(spark):
+    """With prior_edges passed, the additions-only contract is ENFORCED:
+    an edge deletion raises instead of silently merging stale labels;
+    a true superset passes the guard and still matches the cold start."""
+    import pytest as _pytest
+
+    from bitcoinpagerank_spark.operators.components import (
+        connected_components,
+        warm_start_components,
+    )
+
+    day1 = [(1, 2), (2, 3), (10, 11)]
+    prior = connected_components(spark, edges_df(spark, day1)).labels
+
+    # deletion: (2,3) gone — 3 is now separate, but the prior label edge
+    # (3 -> 1) would silently glue it back; the guard must raise
+    day2_deleted = [(1, 2), (10, 11), (10, 12)]
+    with _pytest.raises(ValueError, match="additions-only"):
+        warm_start_components(
+            spark, edges_df(spark, day2_deleted), prior,
+            prior_edges=edges_df(spark, day1),
+        )
+
+    # growth (incl. a reversed duplicate, which the undirected
+    # normalization must treat as still-present): guard passes
+    day2_grown = day1 + [(3, 2), (11, 12)]
+    warm = warm_start_components(
+        spark, edges_df(spark, day2_grown), prior,
+        prior_edges=edges_df(spark, day1),
+    )
+    cold = connected_components(spark, edges_df(spark, day2_grown))
+    assert (
+        {r["id"]: r["component"] for r in warm.labels.collect()}
+        == {r["id"]: r["component"] for r in cold.labels.collect()}
+    )

@@ -73,6 +73,30 @@ def test_rectangle_count(spark):
     assert rectangle_count(k4).collect()[0]["n_rectangles"] == 3
 
 
+def test_rectangle_count_max_wedge_degree(spark):
+    """The degree cap drops hub midpoints before the Σ deg² wedge join:
+    capped count on (square ∪ hub) == exact count with the hub excluded."""
+    from bitcoinpagerank_spark.operators.triangles import rectangle_count
+
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    hub = 99  # degree-8 hub: wedges through it pair every corner
+    hub_edges = [(hub, v) for v in range(1, 9)]
+    g = edges_df(spark, square + hub_edges)
+
+    exact = rectangle_count(g).collect()[0]
+    # hub closes extra rectangles (e.g. 1-99-3 pairs with 1-2-3)
+    assert exact["n_rectangles"] > 1
+
+    capped = rectangle_count(g, max_wedge_degree=4).collect()[0]
+    no_hub = rectangle_count(edges_df(spark, square)).collect()[0]
+    assert capped["n_rectangles"] == no_hub["n_rectangles"] == 1
+    assert capped["n_wedge_pairs"] == no_hub["n_wedge_pairs"]
+
+    # a cap above the max degree is a no-op (exact)
+    uncapped = rectangle_count(g, max_wedge_degree=1000).collect()[0]
+    assert uncapped["n_rectangles"] == exact["n_rectangles"]
+
+
 def test_louvain_move_round_star(spark):
     from bitcoinpagerank_spark.operators.community import louvain_move_round
     from tests.conftest import G_STAR
@@ -96,11 +120,32 @@ def test_skipgram_negatives_contract(spark):
     verts = {1, 2, 3, 4}
     per_center: dict[int, set[int]] = {}
     for r in rows:
-        assert r["neg"] in verts  # only real vertices survive the join
+        assert r["neg"] in verts  # dense-rank draw: only real vertices
         per_center.setdefault(r["center"], set()).add(r["j"])
-    assert set(per_center) <= verts
+    # EVERY vertex gets exactly k negatives (j = 0..k-1) — the dense-rank
+    # guarantee a raw-id draw cannot make on sparse id spaces
+    assert set(per_center) == verts
     for js in per_center.values():
-        assert js <= {0, 1, 2}
+        assert js == {0, 1, 2}
     # deterministic
     again = skipgram_negatives(spark, df, k=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_skipgram_negatives_sparse_hashed_ids(spark):
+    """The r03 advice case: sparse/hashed 64-bit ids. A raw-id LCG draw
+    would miss the vertex set almost always and overflow int64; the
+    dense-rank draw still yields exactly k real negatives per vertex."""
+    from bitcoinpagerank_spark.operators.walks import skipgram_negatives
+
+    big = [(6148914691236517205, -4611686018427387904),
+           (-4611686018427387904, 8070450532247928832),
+           (8070450532247928832, 6148914691236517205)]
+    rows = skipgram_negatives(spark, edges_df(spark, big), k=2).collect()
+    verts = {v for e in big for v in e}
+    per_center = {}
+    for r in rows:
+        assert r["neg"] in verts
+        per_center.setdefault(r["center"], []).append(r["j"])
+    assert set(per_center) == verts
+    assert all(sorted(js) == [0, 1] for js in per_center.values())

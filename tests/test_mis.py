@@ -110,3 +110,21 @@ def test_greedy_coloring_valid_and_bounded(spark, gname):
     # deterministic
     res2 = greedy_coloring(spark, edges_df(spark, edges))
     assert colors == {r["id"]: r["color"] for r in res2.colors.collect()}
+
+
+def test_greedy_coloring_truncation_emits_sentinel(spark):
+    """When max_colors runs out before the residual empties, leftover
+    vertices appear with color -1 — the output is always a COMPLETE
+    vertex assignment, never silently partial."""
+    from bitcoinpagerank_spark.operators.mis import greedy_coloring
+
+    tri = [(1, 2), (2, 3), (3, 1)]  # needs 3 colors
+    res = greedy_coloring(spark, edges_df(spark, tri), max_colors=1)
+    assert not res.converged
+    colors = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert set(colors) == {1, 2, 3}  # complete, incl. uncolored leftovers
+    assert -1 in colors.values()
+    # colored vertices still form a proper partial coloring
+    for s, d in tri:
+        if colors[s] >= 0 and colors[d] >= 0:
+            assert colors[s] != colors[d]
