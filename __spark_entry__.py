@@ -4,8 +4,11 @@
 deterministic documents-derived link graph at sf0.001, top-20 by score).
 ``queries()`` / ``oracle_sql()`` expose the full operator catalog
 (bitcoinpagerank_spark/plans/catalog.py): 127 DuckDB-verifiable operators
-plus 6 rows-only entries for the non-SQL-expressible approximate/iterative
-ops (each of those is oracle-tested in pytest instead).
+plus 7 rows-only entries for the non-SQL-expressible approximate/iterative
+ops (each of those is oracle-tested in pytest instead). Registration
+order puts never-driver-checked oracled entries first (red entries ahead
+of them) so the harness's bounded correctness window rotates through the
+whole catalog across rounds; rows-only entries are ordered last.
 """
 
 from __future__ import annotations

@@ -112,7 +112,11 @@ def strongly_connected_components(
     max_rounds: int = 50,
     max_closure_iter: int = 200,
     num_partitions: int | None = None,
+    trim: bool = True,
 ) -> SccResult:
+    """``trim=False`` disables the FW-BW-Trim pre-pass (closure-only, the
+    pre-r4 behavior) — kept selectable for A/B measurement; trim is
+    strictly work-saving on graphs with trivial SCCs."""
     if num_partitions is None:
         from .edges import auto_partitions
 
@@ -141,7 +145,7 @@ def strongly_connected_components(
         rounds += 1
         # FW-BW-Trim: cascade-peel trivial SCCs before paying for closures
         trim_it = 0
-        while True:
+        while trim:
             trim_it += 1
             t0 = time.monotonic()
             both = eager_checkpoint(

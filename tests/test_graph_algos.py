@@ -301,10 +301,11 @@ def _tarjan(edges):
         [((i * 17 + 3) % 40, (i * 29 + 7) % 40) for i in range(90)],
     ],
 )
-def test_scc_vs_tarjan(spark, edges):
+@pytest.mark.parametrize("trim", [True, False])
+def test_scc_vs_tarjan(spark, edges, trim):
     from bitcoinpagerank_spark.operators.scc import strongly_connected_components
 
-    res = strongly_connected_components(spark, edges_df(spark, edges))
+    res = strongly_connected_components(spark, edges_df(spark, edges), trim=trim)
     got = {r["id"]: r["scc"] for r in res.labels.collect()}
     want = _tarjan(edges)
     # drop self-loop-only vertices the operator excludes
