@@ -1146,6 +1146,75 @@ def q_scc(spark, sf_dir):
     return res.labels.select("id", "scc")
 
 
+# bow-tie decomposition (Broder et al. 2000): every vertex classified by
+# its relation to the largest SCC — THE canonical crawled-web-graph
+# summary. Oracle = the same reachability closure as g_scc, extended
+# with core/forward/backward/tendril set algebra
+@register(
+    "g_bowtie",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    reach(a, b) AS (
+      SELECT src_id, dst_id FROM edges
+      UNION
+      SELECT reach.a, e.dst_id FROM reach JOIN edges e ON e.src_id = reach.b
+    ),
+    scc AS (
+      SELECT id, min(m) AS scc FROM (
+        SELECT id, id AS m FROM verts
+        UNION ALL
+        SELECT r1.a, r1.b
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+      ) GROUP BY id
+    ),
+    core_lbl AS (
+      SELECT scc FROM (SELECT scc, count(*) AS n FROM scc GROUP BY scc)
+      ORDER BY n DESC, scc ASC LIMIT 1
+    ),
+    core AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core_lbl)),
+    fwd AS (
+      SELECT id FROM core
+      UNION
+      SELECT r.b FROM reach r JOIN core c ON r.a = c.id
+    ),
+    bwd AS (
+      SELECT id FROM core
+      UNION
+      SELECT r.a FROM reach r JOIN core c ON r.b = c.id
+    ),
+    fb AS (SELECT id FROM fwd UNION SELECT id FROM bwd),
+    inn AS (
+      SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM core)
+    ),
+    outt AS (
+      SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM core)
+    ),
+    fwd_in AS (
+      SELECT DISTINCT r.b AS id FROM reach r JOIN inn i ON r.a = i.id
+      WHERE r.b NOT IN (SELECT id FROM fb)
+    ),
+    bwd_out AS (
+      SELECT DISTINCT r.a AS id FROM reach r JOIN outt o ON r.b = o.id
+      WHERE r.a NOT IN (SELECT id FROM fb)
+    )
+    SELECT v.id,
+      CASE
+        WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+        WHEN v.id IN (SELECT id FROM inn) THEN 'IN'
+        WHEN v.id IN (SELECT id FROM outt) THEN 'OUT'
+        WHEN v.id IN (SELECT id FROM fwd_in)
+         AND v.id IN (SELECT id FROM bwd_out) THEN 'TUBE'
+        WHEN v.id IN (SELECT id FROM fwd_in)
+          OR v.id IN (SELECT id FROM bwd_out) THEN 'TENDRIL'
+        ELSE 'DISC'
+      END AS region
+    FROM verts v""",
+)
+def q_bowtie(spark, sf_dir):
+    from ..operators.bowtie import bowtie
+
+    return bowtie(spark, doc_edges(spark, sf_dir)).regions
+
+
 def _walk_steps_sql(walk_length: int) -> str:
     """Unrolled per-step CTEs replaying random_walks' LCG choice
     (operators/walks.py: idx = (walk_id*A + step*B + C) % out_degree)."""

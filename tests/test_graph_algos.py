@@ -476,3 +476,29 @@ def test_warm_start_components_guard_rejects_deletions(spark):
         {r["id"]: r["component"] for r in warm.labels.collect()}
         == {r["id"]: r["component"] for r in cold.labels.collect()}
     )
+
+
+def test_bowtie_all_regions(spark):
+    """Hand-built graph exercising every bow-tie region: 3-cycle CORE,
+    an IN feeder, an OUT sink, a TUBE bypassing the core, both tendril
+    flavors, and a disconnected pair."""
+    from bitcoinpagerank_spark.operators.bowtie import bowtie
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),   # CORE cycle
+        (10, 1),                  # IN
+        (3, 20),                  # OUT
+        (10, 30), (30, 20),       # TUBE: IN -> 30 -> OUT, bypassing core
+        (10, 40),                 # TENDRIL (hangs off IN)
+        (50, 20),                 # TENDRIL (feeds into OUT)
+        (60, 61),                 # DISC
+    ]
+    res = bowtie(spark, edges_df(spark, edges))
+    got = {r["id"]: r["region"] for r in res.regions.collect()}
+    assert got == {
+        1: "CORE", 2: "CORE", 3: "CORE",
+        10: "IN", 20: "OUT", 30: "TUBE",
+        40: "TENDRIL", 50: "TENDRIL",
+        60: "DISC", 61: "DISC",
+    }
+    assert res.core_scc == 1 and res.core_size == 3
