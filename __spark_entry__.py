@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query (PageRank to convergence on the
 deterministic documents-derived link graph at sf0.001, top-20 by score).
 ``queries()`` / ``oracle_sql()`` expose the full operator catalog
-(bitcoinpagerank_spark/plans/catalog.py): 128 DuckDB-verifiable operators
+(bitcoinpagerank_spark/plans/catalog.py): 129 DuckDB-verifiable operators
 plus 7 rows-only entries for the non-SQL-expressible approximate/iterative
 ops (each of those is oracle-tested in pytest instead). Registration
 order puts never-driver-checked oracled entries first (red entries ahead

@@ -189,6 +189,32 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, closeness, sum_dist, n_sources) — inbound closeness
+    centrality estimated from a seed sample: closeness(v) =
+    |S_v| / Σ_{s ∈ S_v} d(s, v) over the seeds S_v that reach v (the
+    sampled analog of the classic (n-1)/Σd definition; exact when S =
+    all vertices). Same one-labeled-BFS + one-aggregate shape as
+    ``harmonic_centrality`` — harmonic rewards being near ANY seed,
+    closeness penalizes total distance."""
+    res = labeled_bfs(spark, edges, sources, max_iter, num_partitions)
+    return (
+        res.distances.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            (F.count(F.lit(1)) / F.sum("dist")).alias("closeness"),
+            F.sum("dist").alias("sum_dist"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )
+
+
 def eccentricity_sample(
     spark: SparkSession,
     edges: DataFrame,

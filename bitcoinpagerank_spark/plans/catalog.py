@@ -3319,6 +3319,41 @@ def q_harmonic(spark, sf_dir):
     return res.select("id", F.round("harmonic", 9).alias("harmonic"), "n_sources")
 
 
+# sampled inbound closeness centrality: same labeled-BFS machinery and
+# seed sample as g_harmonic, total-distance normalization instead of
+# reciprocal-sum (the two standard geodesic centralities side by side)
+@register(
+    "g_closeness",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    seeds AS (SELECT id FROM verts WHERE id % 50 = 1),
+    r AS (
+      SELECT id AS src, id, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT r.src, e.dst_id, r.dist + 1
+      FROM r JOIN edges e ON e.src_id = r.id WHERE r.dist < 40
+    ),
+    d AS (SELECT src, id, min(dist) AS dist FROM r GROUP BY 1, 2)
+    SELECT id,
+           round(CAST(count(*) AS DOUBLE) / sum(dist), 9) AS closeness,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           count(*) AS n_sources
+    FROM d WHERE dist > 0 GROUP BY id""",
+)
+def q_closeness(spark, sf_dir):
+    """Inbound closeness from the deterministic id%50=1 seed sample —
+    max_iter matches the oracle CTE's ``dist < 40`` hop bound."""
+    from ..operators.bfs import closeness_centrality
+    from ..operators.edges import vertices
+
+    e = doc_edges(spark, sf_dir)
+    seeds = vertices(e).where(F.col("id") % 50 == 1)
+    res = closeness_centrality(spark, e, seeds, max_iter=40)
+    return res.select(
+        "id", F.round("closeness", 9).alias("closeness"),
+        "sum_dist", "n_sources",
+    )
+
+
 # ------------------------------------------------- sketches / term stats
 from ..operators.sketches import KMV_A, KMV_B  # noqa: E402
 

@@ -119,3 +119,28 @@ def test_harmonic_centrality_vs_oracle(spark):
     for v in want:
         assert got[v][0] == pytest.approx(want[v], abs=1e-9)
         assert got[v][1] == nsrc[v]
+
+
+def test_closeness_centrality_vs_oracle(spark):
+    from bitcoinpagerank_spark.operators.bfs import closeness_centrality
+
+    seeds = [0, 5, 17]
+    per_src = {s: _bfs_oracle(G_RAND, s) for s in seeds}
+    sumd = defaultdict(int)
+    nsrc = defaultdict(int)
+    for s, dists in per_src.items():
+        for v, d in dists.items():
+            if d > 0:
+                sumd[v] += d
+                nsrc[v] += 1
+    got = {
+        r["id"]: (r["closeness"], r["sum_dist"], r["n_sources"])
+        for r in closeness_centrality(
+            spark, edges_df(spark, G_RAND), seeds
+        ).collect()
+    }
+    assert set(got) == set(sumd)
+    for v in sumd:
+        assert got[v][0] == pytest.approx(nsrc[v] / sumd[v], abs=1e-9)
+        assert got[v][1] == sumd[v]
+        assert got[v][2] == nsrc[v]
