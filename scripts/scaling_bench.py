@@ -133,6 +133,7 @@ def single_run(cores: int, vertices: int, with_etl: bool = True) -> dict:
     pr_wall = time.monotonic() - t0
     edges.unpersist()
 
+    per_iter = [round(m.wall_sec, 3) for m in res.metrics]
     out = {
         "cores": cores,
         "pr_vertices": vertices,
@@ -140,7 +141,14 @@ def single_run(cores: int, vertices: int, with_etl: bool = True) -> dict:
         "iterations": res.iterations,
         "pr_wall_sec": round(pr_wall, 3),
         "pr_edges_per_sec": round(n_edges * res.iterations / pr_wall, 1),
-        "per_iter_sec": [round(m.wall_sec, 3) for m in res.metrics],
+        "per_iter_sec": per_iter,
+        # contention-immune basis: every iteration does identical work
+        # (tol=0, fixed graph), so the MIN iteration wall is the leg's
+        # contention-free throughput even when external host load poisons
+        # part of the run (this box's load storms hit mid-run; the full
+        # wall mixes regimes and is not comparable across legs)
+        "min_iter_sec": min(per_iter) if per_iter else None,
+        "load_1m": round(os.getloadavg()[0], 2),
     }
 
     # ---- job 2: pages ETL (map-heavy Arrow-UDF path)
