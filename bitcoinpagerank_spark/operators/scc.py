@@ -152,10 +152,10 @@ def strongly_connected_components(
                 e.select(F.col(SRC).alias("id")).distinct()
                 .join(e.select(F.col(DST).alias("id")).distinct(), "id")
             )
-            trivial = verts.join(both, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
-            n_trivial = trivial.count()
+            # count first, checkpoint the peeled set only when non-empty:
+            # on trivial-free graphs (dense cores) each trim check costs
+            # one job, not a wasted checkpoint + job
+            n_trivial = verts.join(both, "id", "left_anti").count()
             metrics.append(
                 {"closure": f"trim{rounds}", "iteration": trim_it,
                  "changed": n_trivial, "wall_sec": time.monotonic() - t0,
@@ -163,6 +163,9 @@ def strongly_connected_components(
             )
             if n_trivial == 0:
                 break
+            trivial = verts.join(both, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
             settled_frames.append(
                 trivial.select("id", F.col("id").alias("scc"))
             )
