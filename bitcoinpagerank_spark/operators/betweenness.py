@@ -103,9 +103,9 @@ def betweenness_centrality(
     """Directed sampled betweenness from the seed set (unnormalized —
     the raw Σ_s delta_s; callers scale by |V|/|S| for the estimator)."""
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     if not isinstance(sources, DataFrame):
         sources = spark.createDataFrame([(int(s),) for s in sources], "id long")
 

@@ -42,9 +42,9 @@ def bfs_distances(
     vertices are absent from the result (callers left-join against the
     vertex table if they want nulls)."""
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     if not isinstance(sources, DataFrame):
         sources = spark.createDataFrame([(int(s),) for s in sources], "id long")
 
@@ -113,9 +113,9 @@ def labeled_bfs(
     state is O(|S|·|V|) — callers pass a seed SAMPLE (the Eppstein-Wang
     estimator regime), not the full vertex set."""
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     if not isinstance(sources, DataFrame):
         sources = spark.createDataFrame([(int(s),) for s in sources], "id long")
 

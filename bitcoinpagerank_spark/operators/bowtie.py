@@ -58,10 +58,22 @@ class BowtieResult:
 
 def _reach_ids(spark, edges, seeds, max_iter, num_partitions):
     """Vertex ids reachable from ``seeds`` along edge direction,
-    including the seeds themselves (frontier BFS, settled-set pruned)."""
-    return bfs_distances(
+    including the seeds themselves (frontier BFS, settled-set pruned).
+
+    Raises if the sweep hits ``max_iter`` before the frontier empties:
+    a truncated reachability set would silently misclassify regions,
+    and the DuckDB ``g_bowtie`` oracle computes the UNBOUNDED closure —
+    failing loudly keeps the two aligned (ADVICE r4 #2)."""
+    res = bfs_distances(
         spark, edges, seeds, max_iter=max_iter, num_partitions=num_partitions
-    ).distances.select("id")
+    )
+    if not res.converged:
+        raise ValueError(
+            f"bowtie reachability sweep truncated at max_iter={max_iter} "
+            "before the frontier emptied; raise max_iter (directed diameter "
+            "exceeds the hop budget)"
+        )
+    return res.distances.select("id")
 
 
 def bowtie(
@@ -71,9 +83,9 @@ def bowtie(
     num_partitions: int | None = None,
 ) -> BowtieResult:
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     e = (
         edges.select(SRC, DST)

@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, auto_partitions, in_degrees, out_degrees, vertices
+from .edges import SRC, DST, default_partitions, in_degrees, out_degrees, vertices
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 
@@ -83,7 +83,7 @@ def katz_centrality(
     if max_iter < 1:
         raise ValueError("katz_centrality needs max_iter >= 1")
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     e, verts, _n = _prepared(spark, edges, num_partitions)
 
     c = verts.withColumn("score", F.lit(float(beta))).localCheckpoint(eager=True)
@@ -138,7 +138,7 @@ def eigenvector_centrality(
     if max_iter < 1:
         raise ValueError("eigenvector_centrality needs max_iter >= 1")
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     e, verts, n = _prepared(spark, edges, num_partitions)
 
     x = verts.withColumn("score", F.lit(1.0 / n)).localCheckpoint(eager=True)
@@ -186,7 +186,7 @@ def salsa(
     if max_iter < 1:
         raise ValueError("salsa needs max_iter >= 1")
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     base = edges.select(SRC, DST).where(
         F.col(SRC).isNotNull() & F.col(DST).isNotNull()

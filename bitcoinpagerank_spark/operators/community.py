@@ -124,7 +124,11 @@ def _weighted_move_loop(
         .agg(F.sum("w").alias("k"))
         .localCheckpoint(eager=True)
     )
-    m = int(sym.agg((F.sum("w") / 2).cast("long").alias("m")).collect()[0]["m"])
+    # `or 0`: F.sum over an empty/self-loop-only symmetric edge set is
+    # NULL — same guard as louvain_levels (ADVICE r4 #1)
+    m = int(
+        sym.agg((F.sum("w") / 2).cast("long").alias("m")).collect()[0]["m"] or 0
+    )
     comm = deg.select("id", F.col("id").alias("community")).localCheckpoint(
         eager=True
     )
@@ -225,10 +229,10 @@ def louvain_communities(
     pre-refactor loop, preserving the g_louvain_move1/g_louvain_r2 oracle
     contracts); ``louvain_levels`` composes it with quotient contraction
     into the full hierarchy."""
-    from .edges import auto_partitions
+    from .edges import default_partitions
 
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     sym_w = undirected_view(edges).withColumn("w", F.lit(1).cast("long"))
     return _weighted_move_loop(spark, sym_w, max_rounds, num_partitions)
 
@@ -262,11 +266,11 @@ def louvain_levels(
     the whole hierarchy costs ~one extra move-loop on a shrunken graph —
     the contraction reuses the quotient_graph join shape
     (`edges.py:quotient_graph`)."""
-    from .edges import auto_partitions
+    from .edges import default_partitions
     from .lineage import eager_checkpoint
 
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     # canonical undirected weighted edge list: (src≤dst, w); level 0 is
     # the simple graph — unit weights, no self-loops

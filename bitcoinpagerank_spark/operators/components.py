@@ -92,9 +92,9 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> ComponentsResult:
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     # canonical oriented pair set: (max, min), self-loops dropped
     pairs = (

@@ -34,6 +34,44 @@ def auto_partitions(spark, n_edges: int) -> int:
     return max(8, min(n_edges // EDGES_PER_PARTITION + 1, default))
 
 
+# rough on-disk/in-cache cost of one (src_id, dst_id) edge row; only feeds
+# the bounded partition-count heuristic below, so ±4x error is harmless
+# (the result is clamped to [8, shuffle.partitions] either way)
+_BYTES_PER_EDGE = 16
+_UNKNOWN_SIZE = (1 << 63) - 1  # spark.sql.defaultSizeInBytes sentinel
+
+
+def plan_input_bytes(df: DataFrame) -> int | None:
+    """Sum of leaf-relation sizes from the optimized logical plan (file
+    scan statistics for parquet/CSV relations, cached sizes for
+    checkpointed RDDs). Returns None when any leaf reports the unknown
+    sentinel so callers can fall back to counting. Driver-side plan
+    inspection only — touches zero data."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            size = int(str(leaves.apply(i).stats().sizeInBytes()))
+            if size >= _UNKNOWN_SIZE:
+                return None
+            total += size
+        return total
+    except Exception:  # py4j / analysis failure — caller falls back
+        return None
+
+
+def default_partitions(spark, edges: DataFrame) -> int:
+    """Partition-count default WITHOUT scanning the data: estimate the
+    edge count from leaf-relation plan statistics; ``edges.count()`` only
+    as a last resort. At cluster scale callers pin ``num_partitions``
+    explicitly — this keeps the *default* from starting every operator
+    with a full edge-table read just to size its shuffles."""
+    n_bytes = plan_input_bytes(edges)
+    if n_bytes is not None:
+        return auto_partitions(spark, max(1, n_bytes // _BYTES_PER_EDGE))
+    return auto_partitions(spark, edges.count())
+
+
 def dedup_edges(edges: DataFrame, drop_self_loops: bool = True) -> DataFrame:
     """Deduplicate parallel edges; optionally drop self-loops.
 

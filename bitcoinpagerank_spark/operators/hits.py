@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, auto_partitions, vertices
+from .edges import SRC, DST, default_partitions, vertices
 from .lineage import eager_checkpoint, group_shuffle_bytes, job_group, next_group
 
 
@@ -46,7 +46,7 @@ def hits(
     if max_iter < 1:
         raise ValueError("HITS needs max_iter >= 1")
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     e = (
         edges.select(SRC, DST)

@@ -41,9 +41,9 @@ def k_core(
     if k < 1:
         raise ValueError("k must be >= 1")
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     # symmetric closure: every undirected edge appears in both directions,
     # so groupBy(src) counts the full undirected degree
@@ -118,9 +118,9 @@ def core_numbers(
     from pyspark.sql import Window
 
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     und = (
         undirected_view(edges)

@@ -63,9 +63,9 @@ def k_truss(
     if k < 3:
         raise ValueError("k must be >= 3 (the 2-truss is the whole graph)")
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     canon = (
         undirected_view(edges)

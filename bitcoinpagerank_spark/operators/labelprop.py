@@ -41,9 +41,9 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> LabelPropResult:
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     und = undirected_view(edges).repartition(num_partitions, SRC).persist()
     und.count()

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, auto_partitions, undirected_view, vertices
+from .edges import SRC, DST, default_partitions, undirected_view, vertices
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 MIS_A = 1_103_515_245
@@ -64,7 +64,7 @@ def maximal_independent_set(
     num_partitions: int | None = None,
 ) -> MisResult:
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     verts = vertices(edges).repartition(num_partitions, "id").persist()
     n = verts.count()
@@ -171,7 +171,7 @@ def greedy_coloring(
     vertices into conflict-free waves for asynchronous updates.
     """
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     residual = (
         undirected_view(edges)
         .repartition(num_partitions, SRC)

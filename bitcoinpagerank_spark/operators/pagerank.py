@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from .edges import (
     SRC,
     DST,
-    auto_partitions,
+    default_partitions,
     contributions_table,
     out_degrees,
     vertices,
@@ -240,7 +240,7 @@ def pagerank(
     interrupt+resume keeps every iteration's metrics).
     """
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     if strategy == "csr":
         if weight_col is not None:
@@ -485,7 +485,7 @@ def personalized_pagerank(
             [(int(s),) for s in sources], "id long"
         )
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

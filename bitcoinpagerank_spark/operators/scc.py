@@ -118,9 +118,9 @@ def strongly_connected_components(
     pre-r4 behavior) — kept selectable for A/B measurement; trim is
     strictly work-saving on graphs with trivial SCCs."""
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     e = (
         edges.select(SRC, DST)

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, auto_partitions
+from .edges import SRC, DST, default_partitions
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 
@@ -73,7 +73,7 @@ def sssp(
     V-round negative-cycle protocol; web-graph weights are counts/costs,
     always nonnegative)."""
     if num_partitions is None:
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
     w = (
         F.col(weight_col).cast("double")
         if weight_col

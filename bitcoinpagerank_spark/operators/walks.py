@@ -72,9 +72,9 @@ def random_walks(
     if walk_length < 1:
         raise ValueError("walk_length must be >= 1")
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     adj = indexed_adjacency(edges).repartition(num_partitions, SRC)
     adj = adj.localCheckpoint(eager=True)
@@ -149,9 +149,9 @@ def biased_walks(
     if min(w_return, w_common, w_far) < 0 or max(w_return, w_common, w_far) == 0:
         raise ValueError("weights must be non-negative and not all zero")
     if num_partitions is None:
-        from .edges import auto_partitions
+        from .edges import default_partitions
 
-        num_partitions = auto_partitions(spark, edges.count())
+        num_partitions = default_partitions(spark, edges)
 
     adj = indexed_adjacency(edges).repartition(num_partitions, SRC)
     adj = adj.localCheckpoint(eager=True)

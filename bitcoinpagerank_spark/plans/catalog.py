@@ -163,12 +163,21 @@ def _driver_history() -> tuple[set, set]:
     most recent row was a failure (value-hash/rows/schema mismatch or a
     real error — ``no_oracle`` rows-only checks don't count as red)."""
     import json
+    import re
     from pathlib import Path
 
     checked: set = set()
     red: set = set()
     root = Path(__file__).resolve().parents[2]
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+
+    def round_no(p: Path) -> int:
+        # numeric order, not lexicographic: r100 after r99, r4 == r04
+        # (ADVICE r4 #3 — "most recent row wins" must survive unpadded
+        # or three-digit round numbers)
+        m = re.search(r"r(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(root.glob("CORRECTNESS_r*.json"), key=round_no):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -212,14 +221,11 @@ def _window_order() -> list[str]:
     return sorted(_REGISTRY, key=prio)
 
 
-_ORDER_CACHE: list[str] | None = None
-
-
 def _ordered_names() -> list[str]:
-    global _ORDER_CACHE
-    if _ORDER_CACHE is None or len(_ORDER_CACHE) != len(_REGISTRY):
-        _ORDER_CACHE = _window_order()
-    return _ORDER_CACHE
+    # no cache: the artifact scan is a handful of local JSON reads, and a
+    # stale cache could pin a pre-round ordering after the driver writes a
+    # new CORRECTNESS file mid-process (ADVICE r4 #3)
+    return _window_order()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -211,3 +211,17 @@ def test_louvain_separates_cliques(spark):
     assert modularity(TWO_CLIQUES, comm) > modularity(
         TWO_CLIQUES, {v: v for v in comm}
     )
+
+
+def test_louvain_empty_edge_set(spark):
+    # ADVICE r4 #1: F.sum over an empty symmetric edge set is NULL; the
+    # move loop must treat it as m=0 instead of raising TypeError
+    empty = spark.createDataFrame([], "src_id long, dst_id long")
+    res = louvain_communities(spark, empty, max_rounds=2)
+    assert res.communities.count() == 0
+    assert res.converged
+
+
+def test_louvain_self_loop_only(spark):
+    res = louvain_communities(spark, edges_df(spark, [(1, 1)]), max_rounds=2)
+    assert res.communities.count() == 0
