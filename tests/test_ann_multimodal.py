@@ -98,8 +98,9 @@ def test_frame_sample_shapes(spark):
         assert len(fr) == math.ceil(total_chunks / 2)
 
 
-def test_decode_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
+def test_decode_rejects_non_png(spark):
+    # decode_image is a real PNG decoder now (r5); junk bytes fail loudly
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG fake")
 
 
