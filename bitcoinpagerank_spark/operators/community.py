@@ -250,6 +250,7 @@ def louvain_levels(
     max_levels: int = 5,
     max_rounds: int = 10,
     num_partitions: int | None = None,
+    stop_early: bool = True,
 ) -> LouvainLevelsResult:
     """Multi-level Louvain: move phase → contract communities into a
     weighted quotient (weight = underlying edge count; intra-community
@@ -366,7 +367,10 @@ def louvain_levels(
                 "wall_sec": time.monotonic() - t0,
             }
         )
-        if n_comm == n_vertices:  # nothing merged — hierarchy is done
+        # nothing merged — hierarchy is done; ``stop_early=False`` runs all
+        # max_levels unconditionally (fixed work, exactly SQL-replayable —
+        # the g_louvain_levels_l2 oracle contract)
+        if stop_early and n_comm == n_vertices:
             break
     return LouvainLevelsResult(
         mapping.select("id", F.col("grp").alias("community")),

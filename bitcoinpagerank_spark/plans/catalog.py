@@ -711,10 +711,133 @@ def q_louvain_levels(spark, sf_dir):
     repeat): the full Blondel hierarchy. Unbounded inner convergence →
     rows-only here; the exact python-replay oracle plus the
     modularity-non-decreasing and clique-separation properties are
-    pytest-asserted (tests/test_louvain.py)."""
+    pytest-asserted (tests/test_louvain.py). Fixed-work hash-verified
+    sibling: g_louvain_levels_l2."""
     from ..operators.community import louvain_levels
 
     return louvain_levels(spark, doc_edges(spark, sf_dir), max_levels=2).communities
+
+
+def _weighted_louvain_rounds_sql(lv: str, rounds: int) -> str:
+    """Unrolled WEIGHTED synchronous move rounds over ``sym{lv}`` (a, b, w)
+    — the weighted generalization of ``_louvain_sql``'s integer score2
+    contract (mirrors operators/community.py:_weighted_move_loop: kic
+    excludes self-loops, degrees include doubled self-loops, parity gate
+    (id + r) % 2, ties → stay then lower community id)."""
+    parts = [
+        f"deg{lv} AS MATERIALIZED (SELECT a AS id, CAST(sum(w) AS BIGINT) AS k"
+        f" FROM sym{lv} GROUP BY a),",
+        f"m{lv} AS MATERIALIZED (SELECT CAST(sum(w) / 2 AS BIGINT) AS m FROM sym{lv}),",
+        f"cm{lv}_0 AS MATERIALIZED (SELECT id, id AS community FROM deg{lv}),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""csum{lv}_{r} AS MATERIALIZED (
+  SELECT community, sum(k) AS ctot
+  FROM cm{lv}_{r} JOIN deg{lv} USING (id) GROUP BY community
+),
+kic{lv}_{r} AS MATERIALIZED (
+  SELECT s.a AS id, c.community AS c, CAST(sum(s.w) AS BIGINT) AS kic
+  FROM sym{lv} s JOIN cm{lv}_{r} c ON c.id = s.b
+  WHERE s.a <> s.b GROUP BY 1, 2
+),
+kc{lv}_{r} AS MATERIALIZED (
+  SELECT k.id, k.c, k.kic, cm.community AS cur
+  FROM kic{lv}_{r} k JOIN cm{lv}_{r} cm USING (id)
+),
+stay{lv}_{r} AS (
+  SELECT cm.id, cm.community AS c, CAST(0 AS BIGINT) AS kic,
+         cm.community AS cur
+  FROM cm{lv}_{r} cm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kc{lv}_{r} x WHERE x.id = cm.id AND x.c = cm.community
+  )
+),
+cand{lv}_{r} AS (
+  SELECT * FROM kc{lv}_{r} UNION ALL SELECT * FROM stay{lv}_{r}
+),
+sc{lv}_{r} AS (
+  SELECT cd.id, cd.c, cd.cur,
+         2 * mm.m * cd.kic
+           - d.k * (cs.ctot - CASE WHEN cd.c = cd.cur THEN d.k ELSE 0 END)
+           AS score2
+  FROM cand{lv}_{r} cd
+  JOIN deg{lv} d ON d.id = cd.id
+  JOIN csum{lv}_{r} cs ON cs.community = cd.c
+  CROSS JOIN m{lv} mm
+),
+pick{lv}_{r} AS (
+  SELECT id, c, cur,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY score2 DESC,
+                    CASE WHEN c = cur THEN 0 ELSE 1 END, c) AS rn
+  FROM sc{lv}_{r}
+),
+cm{lv}_{r + 1} AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN (id + {r}) % 2 = 0 THEN c ELSE cur END AS community
+  FROM pick{lv}_{r} WHERE rn = 1
+),"""
+        )
+    return "\n".join(parts)
+
+
+def _louvain_levels_sql(rounds: int = 2) -> str:
+    """Two full Louvain levels, fixed work: ``rounds`` weighted move
+    rounds from singletons, quotient contraction (intra edges →
+    self-loops, weight = underlying edge count), ``rounds`` more on the
+    quotient, then the composed original-vertex → final-community map."""
+    lvl0 = _weighted_louvain_rounds_sql("a", rounds)
+    lvl1 = _weighted_louvain_rounds_sql("b", rounds).rstrip().rstrip(",")
+    # lund/syma MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    # this oracle references the symmetric edge set once per unrolled CTE —
+    # un-materialized, every reference re-expands to a parquet scan and the
+    # process runs out of file descriptors
+    return f"""WITH {EDGES_CTE},
+    lund AS MATERIALIZED (
+      SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+      FROM edges
+    ),
+    syma AS MATERIALIZED (
+      SELECT u AS a, v AS b, CAST(1 AS BIGINT) AS w FROM lund
+      UNION ALL SELECT v, u, CAST(1 AS BIGINT) FROM lund
+    ),
+    {lvl0}
+    qund AS MATERIALIZED (
+      SELECT least(ca.community, cb.community) AS u,
+             greatest(ca.community, cb.community) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lund e
+      JOIN cma_{rounds} ca ON ca.id = e.u
+      JOIN cma_{rounds} cb ON cb.id = e.v
+      GROUP BY 1, 2
+    ),
+    symb AS MATERIALIZED (
+      SELECT u AS a, v AS b, w FROM qund WHERE u <> v
+      UNION ALL SELECT v, u, w FROM qund WHERE u <> v
+      UNION ALL SELECT u, u, w * 2 FROM qund WHERE u = v
+    ),
+    {lvl1}
+    SELECT l0.id, l1.community
+    FROM cma_{rounds} l0 JOIN cmb_{rounds} l1 ON l1.id = l0.community"""
+
+
+@register("g_louvain_levels_l2", _louvain_levels_sql(2))
+def q_louvain_levels_l2(spark, sf_dir):
+    """Fixed-work two-level Louvain hierarchy (exactly 2 parity-gated
+    move rounds per level, no early stop): move → weighted quotient
+    contraction → move — every step integer arithmetic, so the composed
+    id → final-community map is exactly SQL-replayable (judge r4 Next #7;
+    gives the hierarchy path a value-hash driver row alongside the
+    convergence-run g_louvain_levels)."""
+    from ..operators.community import louvain_levels
+
+    res = louvain_levels(
+        spark, doc_edges(spark, sf_dir), max_levels=2, max_rounds=2,
+        stop_early=False,
+    )
+    return res.communities
 
 
 def _wl_sql(rounds: int = 2) -> str:
@@ -1222,6 +1345,49 @@ def q_bowtie(spark, sf_dir):
     from ..operators.bowtie import bowtie
 
     return bowtie(spark, doc_edges(spark, sf_dir)).regions
+
+
+# incremental CC with deletions: prior graph = the full doc edge set;
+# today = prior minus a deterministic ~1/7 slice. The Spark side runs the
+# delta-scaled incremental path (dirty-component isolation + label stars);
+# the oracle simply computes components of TODAY's graph — the entry is
+# green iff incremental == cold recompute, the operator's whole contract
+@register(
+    "g_components_incremental",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    tedges AS (
+      SELECT src_id, dst_id FROM edges WHERE (src_id * 31 + dst_id) % 7 <> 0
+    ),
+    tund AS (
+      SELECT src_id AS a, dst_id AS b FROM tedges
+      UNION SELECT dst_id, src_id FROM tedges
+    ),
+    tverts AS (
+      SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM tedges UNION ALL SELECT dst_id FROM tedges
+      )
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM tverts
+      UNION
+      SELECT reach.id, tund.b FROM reach JOIN tund ON reach.r = tund.a
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id""",
+)
+def q_components_incremental(spark, sf_dir):
+    """Deletion-capable incremental CC: yesterday = full doc graph (labels
+    from a cold run), today drops a deterministic ~1/7 of edges; the
+    incremental path recomputes only dirty components + the delta and must
+    match the oracle's cold components of today's graph exactly."""
+    from ..operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    prior = doc_edges(spark, sf_dir)
+    today = prior.where((F.col("src_id") * 31 + F.col("dst_id")) % 7 != 0)
+    prior_labels = connected_components(spark, prior).labels
+    return incremental_components(spark, today, prior_labels, prior).labels
 
 
 def _walk_steps_sql(walk_length: int) -> str:
