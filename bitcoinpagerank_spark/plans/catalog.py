@@ -477,6 +477,79 @@ def q_pagerank_personalized_iter2(spark, sf_dir):
     return res.ranks.select("id", F.round("score", 9).alias("score"))
 
 
+# ---- TrustRank family (r5): anti-spam scoring over the same unrolled
+# damped-iteration oracle machinery (Gyöngyi et al., VLDB 2004/2006)
+
+_TRUST_TP = "CASE WHEN v.id % 7 = 0 THEN 1.0/tcnt ELSE 0.0 END"
+_TRUST_CTE = "t AS (SELECT count(*) AS tcnt FROM verts WHERE id % 7 = 0)"
+
+
+def _trustrank_sql(iters: int) -> str:
+    return (
+        _pagerank_iter_sql(iters, extra_cte=_TRUST_CTE, teleport_sql=_TRUST_TP)
+        .replace("FROM verts v, n)", "FROM verts v, n, t)")
+        .replace(
+            "FROM verts v CROSS JOIN n", "FROM verts v CROSS JOIN n CROSS JOIN t"
+        )
+    )
+
+
+@register("g_trustrank_iter2", _trustrank_sql(2))
+def q_trustrank_iter2(spark, sf_dir):
+    """TrustRank: trust-biased PageRank from seed set id % 7 == 0
+    (teleport + dangling mass both target the seeds), 2 fixed iterations
+    — low score on a high-PageRank page flags link spam."""
+    from ..operators.trust import trustrank
+
+    e = doc_edges(spark, sf_dir)
+    seeds = E.vertices(e).where(F.col("id") % 7 == 0)
+    res = trustrank(spark, e, seeds, tol=0.0, max_iter=2)
+    return res.ranks.select("id", F.round("score", 9).alias("score"))
+
+
+@register(
+    "g_spam_mass",
+    f"""WITH pr AS ({_pagerank_iter_sql(2)}),
+    tr AS ({_trustrank_sql(2)})
+    SELECT pr.id, pr.score AS pagerank, tr.score AS trustrank,
+           round((pr.score - tr.score) / pr.score, 9) AS spam_mass
+    FROM pr JOIN tr ON tr.id = pr.id""",
+)
+def q_spam_mass(spark, sf_dir):
+    """Spam mass SM(v) = (PR − TR)/PR: the fraction of a page's rank not
+    backed by trust flow — the VLDB'06 link-spam detector. Two fixed
+    2-iteration rank vectors + one id-keyed join."""
+    from ..operators.trust import spam_mass
+
+    e = doc_edges(spark, sf_dir)
+    seeds = E.vertices(e).where(F.col("id") % 7 == 0)
+    return spam_mass(spark, e, seeds, tol=0.0, max_iter=2)
+
+
+@register(
+    "g_inverse_pagerank_seeds",
+    f"""WITH rpr AS ({_pagerank_iter_sql(
+        2,
+        edges_name="redges",
+        extra_cte="redges AS (SELECT dst_id AS src_id, src_id AS dst_id FROM edges)",
+    )})
+    SELECT id, score, rank FROM (
+      SELECT id, score,
+             row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+      FROM rpr
+    ) WHERE rank <= 20""",
+)
+def q_inverse_pagerank_seeds(spark, sf_dir):
+    """TrustRank seed selection: PageRank on the REVERSED graph ranks
+    pages by outbound web coverage (how far their trust would reach);
+    top-20 with total-order tie-break."""
+    from ..operators.trust import inverse_pagerank_seeds
+
+    return inverse_pagerank_seeds(
+        spark, doc_edges(spark, sf_dir), k=20, tol=0.0, max_iter=2
+    )
+
+
 _MULTI_CTE = """em AS (SELECT src_id, dst_id FROM e0 WHERE src_id <> dst_id),
 mverts AS (
   SELECT DISTINCT id FROM (

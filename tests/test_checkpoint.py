@@ -172,3 +172,41 @@ def test_tablestore_expiry_and_compaction(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         store.expire_tables("iter", keep_last=0)
+
+
+def test_scc_plain_closure_stats_growth_is_linear(spark):
+    """Regression guard for the r4 planning-blowup class: the SCC
+    closure's plain localCheckpoints compound the carried size ESTIMATE
+    geometrically in bytes but must stay LINEAR in BigInteger digits
+    (~7/round) — a size-SQUARING loop (the Louvain failure mode, digits
+    doubling per round) would blow past this bound within a few rounds."""
+    from bitcoinpagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from tests.conftest import edges_df
+
+    # directed cycle chain: long closure (diameter-bound rounds)
+    n = 40
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    res = strongly_connected_components(
+        spark, edges_df(spark, ring), num_partitions=4
+    )
+    assert res.converged
+    closure_rounds = sum(
+        1 for m in res.metrics if not str(m["closure"]).startswith("trim")
+    )
+    digits = len(
+        str(
+            res.labels._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    )
+    # linear bound with slack (measured ~19 digits/round on this fixture);
+    # a squaring loop gives 2^rounds digits and would hang/fail long
+    # before this assert at 80 rounds
+    assert closure_rounds >= n / 2
+    assert digits < 30 * closure_rounds + 100, (
+        f"{digits} digits after {closure_rounds} closure rounds"
+    )
