@@ -102,22 +102,24 @@ def spam_mass(
     SM(v) = (PR(v) − TR(v)) / PR(v): the fraction of v's PageRank not
     backed by trust flow — ≈1 for pages ranked by spam farms, ≤0 for
     pages the seed set boosts above their organic rank. Two PageRank
-    runs + one id-keyed join; both rank vectors are rounded to 9 places
-    before the ratio so the catalog oracle replays the arithmetic
-    exactly."""
+    runs + one id-keyed join. The ratio is computed from UNROUNDED
+    scores and rounded at 6: it divides a tiny difference by a small
+    denominator, so pre-rounded inputs would amplify float-sum-order
+    flutter across a rounding boundary (the g_spam_mass oracle mirrors
+    this exactly)."""
     pr = pagerank(
         spark, edges, alpha=alpha, tol=tol, max_iter=max_iter,
         num_partitions=num_partitions,
-    ).ranks.select("id", F.round("score", 9).alias("pagerank"))
+    ).ranks.select("id", F.col("score").alias("pr_raw"))
     tr = trustrank(
         spark, edges, seeds, alpha=alpha, tol=tol, max_iter=max_iter,
         num_partitions=num_partitions,
-    ).ranks.select("id", F.round("score", 9).alias("trustrank"))
+    ).ranks.select("id", F.col("score").alias("tr_raw"))
     return pr.join(tr, "id").select(
         "id",
-        "pagerank",
-        "trustrank",
+        F.round("pr_raw", 9).alias("pagerank"),
+        F.round("tr_raw", 9).alias("trustrank"),
         F.round(
-            (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"), 9
+            (F.col("pr_raw") - F.col("tr_raw")) / F.col("pr_raw"), 6
         ).alias("spam_mass"),
     )

@@ -309,6 +309,7 @@ def _pagerank_iter_sql(
     verts_name: str = "verts",
     extra_cte: str = "",
     teleport_sql: str | None = None,
+    round_digits: int | None = 9,
 ) -> str:
     """Unrolled damped PageRank (§2.12 semantics) as chained CTEs.
 
@@ -361,7 +362,10 @@ recv{i} AS (
     body = body.rstrip()
     if body.endswith(","):
         body = body[:-1]
-    return body + f"\nSELECT id, round(score, 9) AS score FROM r{iters}"
+    score = (
+        "score" if round_digits is None else f"round(score, {round_digits})"
+    )
+    return body + f"\nSELECT id, {score} AS score FROM r{iters}"
 
 
 @register("g_pagerank_iter3", _pagerank_iter_sql(3))
@@ -484,9 +488,10 @@ _TRUST_TP = "CASE WHEN v.id % 7 = 0 THEN 1.0/tcnt ELSE 0.0 END"
 _TRUST_CTE = "t AS (SELECT count(*) AS tcnt FROM verts WHERE id % 7 = 0)"
 
 
-def _trustrank_sql(iters: int) -> str:
+def _trustrank_sql(iters: int, round_digits: int | None = 9) -> str:
     return (
-        _pagerank_iter_sql(iters, extra_cte=_TRUST_CTE, teleport_sql=_TRUST_TP)
+        _pagerank_iter_sql(iters, extra_cte=_TRUST_CTE,
+                           teleport_sql=_TRUST_TP, round_digits=round_digits)
         .replace("FROM verts v, n)", "FROM verts v, n, t)")
         .replace(
             "FROM verts v CROSS JOIN n", "FROM verts v CROSS JOIN n CROSS JOIN t"
@@ -507,12 +512,21 @@ def q_trustrank_iter2(spark, sf_dir):
     return res.ranks.select("id", F.round("score", 9).alias("score"))
 
 
+# the ratio divides a difference of two ~1/n-scale vectors by one of
+# them, amplifying the engines' float-sum-order flutter (~1e-15 on raw
+# scores) into the ~1e-12 range on the ratio — so the ratio is computed
+# from UNROUNDED scores (round_digits=None) and rounded at 6, where a
+# 1e-12 perturbation cannot cross a rounding boundary; pre-rounding the
+# inputs at 9 made the entry flaky (a 1e-9 input flip moved the ratio by
+# 1e-6, exactly the compare tolerance)
 @register(
     "g_spam_mass",
-    f"""WITH pr AS ({_pagerank_iter_sql(2)}),
-    tr AS ({_trustrank_sql(2)})
-    SELECT pr.id, pr.score AS pagerank, tr.score AS trustrank,
-           round((pr.score - tr.score) / pr.score, 9) AS spam_mass
+    f"""WITH pr AS ({_pagerank_iter_sql(2, round_digits=None)}),
+    tr AS ({_trustrank_sql(2, round_digits=None)})
+    SELECT pr.id,
+           round(pr.score, 9) AS pagerank,
+           round(tr.score, 9) AS trustrank,
+           round((pr.score - tr.score) / pr.score, 6) AS spam_mass
     FROM pr JOIN tr ON tr.id = pr.id""",
 )
 def q_spam_mass(spark, sf_dir):
