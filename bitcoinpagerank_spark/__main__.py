@@ -107,11 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "components":
-        from .operators.components import connected_components
+        from .operators.components import (
+            connected_components,
+            resume_components,
+        )
 
-        res = connected_components(
-            spark, spark.read.parquet(args.input),
-            max_iter=args.max_iter, num_partitions=args.partitions)
+        edges = spark.read.parquet(args.input)
+        kw = dict(max_iter=args.max_iter, num_partitions=args.partitions,
+                  checkpoint_interval=args.checkpoint_interval)
+        if args.resume and args.checkpoint_dir:
+            res = resume_components(spark, edges, args.checkpoint_dir, **kw)
+        else:
+            res = connected_components(
+                spark, edges, checkpoint_dir=args.checkpoint_dir, **kw)
         if args.output:
             res.labels.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"iterations": res.iterations,

@@ -90,28 +90,48 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    start_iteration: int = 0,
+    start_pairs: DataFrame | None = None,
+    prior_metrics: list[dict] | None = None,
+    start_sig: tuple | None = None,
 ) -> ComponentsResult:
+    """Resumability (north_rule: any run resumes mid-iteration): pass
+    ``checkpoint_dir`` to snapshot the oriented pair set (the loop's
+    whole state) every ``checkpoint_interval`` rounds through TableStore
+    (Iceberg commit or parquet + JSON manifest, same machinery as
+    PageRank's). The star-contraction fixpoint depends only on the pair
+    set, so a resumed run's labels are bit-identical to an uninterrupted
+    one — asserted in tests/test_checkpoint.py."""
     if num_partitions is None:
         from .edges import default_partitions
 
         num_partitions = default_partitions(spark, edges)
 
-    # canonical oriented pair set: (max, min), self-loops dropped
-    pairs = (
-        edges.select(
-            F.greatest(F.col(SRC), F.col(DST)).alias("a"),
-            F.least(F.col(SRC), F.col(DST)).alias("b"),
+    if start_pairs is not None:  # resume path: already canonical
+        pairs = (
+            start_pairs.select("a", "b")
+            .repartition(num_partitions, "a")
+            .localCheckpoint(eager=True)
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .repartition(num_partitions, "a")
-        .localCheckpoint(eager=True)
-    )
+    else:
+        # canonical oriented pair set: (max, min), self-loops dropped
+        pairs = (
+            edges.select(
+                F.greatest(F.col(SRC), F.col(DST)).alias("a"),
+                F.least(F.col(SRC), F.col(DST)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .repartition(num_partitions, "a")
+            .localCheckpoint(eager=True)
+        )
 
     converged = False
-    it = 0
-    prev_sig: tuple | None = None
-    metrics: list[dict] = []
+    it = start_iteration
+    prev_sig: tuple | None = tuple(start_sig) if start_sig else None
+    metrics: list[dict] = list(prior_metrics or [])
     while it < max_iter:
         t0 = time.monotonic()
         stepped = _small_star(_large_star(pairs))
@@ -133,10 +153,15 @@ def connected_components(
              "shuffle_read_bytes": srb, "shuffle_write_bytes": swb}
         )
         pairs = new_pairs
+        if checkpoint_dir and (it - start_iteration) % checkpoint_interval == 0:
+            _write_cc_snapshot(pairs, metrics, it, sig, checkpoint_dir)
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
+    if checkpoint_dir:
+        _write_cc_snapshot(pairs, metrics, it, prev_sig, checkpoint_dir,
+                           final=True)
 
     # at the fixpoint each non-root vertex appears exactly once as `a`
     # (star forest); the groupBy-min also makes a max_iter cutoff safe
@@ -149,6 +174,67 @@ def connected_components(
         .select("id", F.coalesce("root", F.col("id")).alias("component"))
     )
     return ComponentsResult(labels, it, converged, metrics)
+
+
+def _write_cc_snapshot(
+    pairs: DataFrame,
+    metrics: list[dict],
+    iteration: int,
+    sig: tuple | None,
+    checkpoint_dir: str,
+    final: bool = False,
+) -> None:
+    from ..sources.tablestore import TableStore
+
+    store = TableStore(pairs.sparkSession, checkpoint_dir)
+    loc = store.write_table(pairs.select("a", "b"), f"cc_iter{iteration:04d}")
+    store.write_manifest({
+        "kind": "components",
+        "iteration": iteration,
+        "final": final,
+        "pairs_path": loc,
+        "backend": store.backend,
+        "sig": list(sig) if sig else None,
+        "metrics": metrics,
+    })
+
+
+def resume_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    checkpoint_dir: str,
+    **kwargs,
+) -> ComponentsResult:
+    """Continue a checkpointed CC run from its latest pair-set snapshot;
+    falls back to a fresh run when no snapshot exists. Bit-identical to
+    an uninterrupted run (the star-contraction fixpoint is a function of
+    the pair set alone)."""
+    from ..sources.tablestore import TableStore
+
+    store = TableStore(spark, checkpoint_dir)
+    manifest = store.read_manifest()
+    if manifest is None:
+        return connected_components(
+            spark, edges, checkpoint_dir=checkpoint_dir, **kwargs
+        )
+    if manifest.get("kind") != "components":
+        raise ValueError(
+            f"{checkpoint_dir} holds a {manifest.get('kind') or 'pagerank'} "
+            "snapshot, not a components one"
+        )
+    store = TableStore(spark, checkpoint_dir, backend=manifest.get("backend"))
+    pairs = store.read_table(manifest["pairs_path"])
+    sig = tuple(manifest["sig"]) if manifest.get("sig") else None
+    return connected_components(
+        spark,
+        edges,
+        checkpoint_dir=checkpoint_dir,
+        start_iteration=manifest["iteration"],
+        start_pairs=pairs,
+        prior_metrics=manifest.get("metrics") or [],
+        start_sig=sig,
+        **kwargs,
+    )
 
 
 def warm_start_components(

@@ -210,3 +210,55 @@ def test_scc_plain_closure_stats_growth_is_linear(spark):
     assert digits < 30 * closure_rounds + 100, (
         f"{digits} digits after {closure_rounds} closure rounds"
     )
+
+
+def test_components_snapshot_and_resume_match_straight_run(spark, tmp_path):
+    """CC resume (north_rule: resumes mid-iteration): interrupt the
+    star-contraction at max_iter, resume from the pair-set snapshot, and
+    the final labels must be bit-identical to an uninterrupted run."""
+    import random
+
+    from bitcoinpagerank_spark.operators.components import (
+        connected_components,
+        resume_components,
+    )
+    from tests.conftest import edges_df
+
+    rng = random.Random(77)
+    # long path + random chords: needs several contraction rounds
+    edges = [(i, i + 1) for i in range(120)] + [
+        (rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)
+    ]
+    e = edges_df(spark, edges)
+    straight = connected_components(spark, e, num_partitions=4)
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    interrupted = connected_components(
+        spark, e, max_iter=2, num_partitions=4,
+        checkpoint_dir=ckpt, checkpoint_interval=1,
+    )
+    assert not interrupted.converged
+    resumed = resume_components(spark, e, ckpt, num_partitions=4)
+    assert resumed.converged
+    assert resumed.iterations == straight.iterations
+    a = sorted(tuple(r) for r in straight.labels.collect())
+    b = sorted(tuple(r) for r in resumed.labels.collect())
+    assert a == b
+    # lineage survives the restart: metrics cover rounds 1..N contiguously
+    rounds = [m["iteration"] for m in resumed.metrics]
+    assert rounds == list(range(1, resumed.iterations + 1))
+
+
+def test_resume_components_rejects_pagerank_snapshot(spark, tmp_path):
+    import pytest as _pytest
+
+    from bitcoinpagerank_spark.operators.components import resume_components
+    from bitcoinpagerank_spark.operators.pagerank import pagerank
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(1, 2), (2, 3)])
+    ckpt = str(tmp_path / "pr_ckpt")
+    pagerank(spark, e, tol=0.0, max_iter=2, checkpoint_dir=ckpt,
+             checkpoint_interval=1)
+    with _pytest.raises(ValueError, match="not a components"):
+        resume_components(spark, e, ckpt)
