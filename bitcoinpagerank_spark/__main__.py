@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
         "etl", "pagerank", "components", "scc", "bfs", "walks",
         "labelprop", "triangles", "topk", "ktruss", "harmonic", "linkpred",
         "mis", "coloring", "sssp", "centrality", "louvain",
+        "trustrank", "spammass", "incremental-components",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -65,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                          "degree before the wedge join (hub cap)")
     ap.add_argument("--weight-col", default=None,
                     help="sssp: edge weight column (default: unit weights)")
+    ap.add_argument("--prior-labels", default=None,
+                    help="incremental-components: yesterday's labels parquet")
+    ap.add_argument("--prior-edges", default=None,
+                    help="incremental-components: yesterday's edges parquet")
     ap.add_argument("--variant", default="katz",
                     choices=["katz", "eigenvector", "salsa"],
                     help="centrality: which algorithm")
@@ -310,6 +315,53 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"variant": args.variant,
                           "iterations": res.iterations,
                           "vertices": res.scores.count()}))
+        return 0
+
+    if args.command == "trustrank":
+        from .operators.trust import trustrank
+
+        edges = spark.read.parquet(args.input)
+        seeds = [int(s) for s in args.sources.split(",")]
+        res = trustrank(spark, edges, seeds, alpha=args.alpha, tol=args.tol,
+                        max_iter=args.max_iter,
+                        num_partitions=args.partitions)
+        if args.output:
+            res.ranks.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations,
+                          "converged": res.converged}))
+        return 0
+
+    if args.command == "spammass":
+        from .operators.trust import spam_mass
+
+        edges = spark.read.parquet(args.input)
+        seeds = [int(s) for s in args.sources.split(",")]
+        sm = spam_mass(spark, edges, seeds, alpha=args.alpha, tol=args.tol,
+                       max_iter=args.max_iter,
+                       num_partitions=args.partitions)
+        if args.output:
+            sm.write.mode("overwrite").parquet(args.output)
+        from pyspark.sql import functions as F
+
+        top = sm.orderBy(F.desc("spam_mass"), F.asc("id")).limit(args.k)
+        print(json.dumps({"rows": sm.count(),
+                          "top_spam_ids": [r["id"] for r in top.collect()]}))
+        return 0
+
+    if args.command == "incremental-components":
+        from .operators.components import incremental_components
+
+        edges = spark.read.parquet(args.input)
+        prior_labels = spark.read.parquet(args.prior_labels)
+        prior_edges = spark.read.parquet(args.prior_edges)
+        res = incremental_components(
+            spark, edges, prior_labels, prior_edges,
+            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.output:
+            res.labels.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"iterations": res.iterations,
+                          "converged": res.converged,
+                          "num_components": res.num_components()}))
         return 0
 
     return 1

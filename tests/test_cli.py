@@ -201,3 +201,46 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert n == edges.join(dims, "k").count()
     assert "Exchange" not in plan, plan
+
+
+def test_cli_trust_and_incremental_commands(spark, tmp_path):
+    """r5 CLI surface: trustrank, spammass, incremental-components."""
+    import json
+    import subprocess
+    import sys
+
+    from tests.conftest import edges_df
+
+    prior = edges_df(spark, [(1, 2), (2, 1), (2, 3), (10, 11), (11, 10)])
+    today = edges_df(spark, [(1, 2), (2, 1), (10, 11), (11, 10)])
+    prior.write.mode("overwrite").parquet(str(tmp_path / "prior"))
+    today.write.mode("overwrite").parquet(str(tmp_path / "today"))
+    from bitcoinpagerank_spark.operators.components import (
+        connected_components,
+    )
+    connected_components(spark, prior).labels.write.mode("overwrite").parquet(
+        str(tmp_path / "labels")
+    )
+
+    def run(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "bitcoinpagerank_spark", *argv,
+             "--master", "local[4]"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    tr = run("trustrank", "--input", str(tmp_path / "prior"),
+             "--sources", "1", "--max-iter", "30")
+    assert tr["converged"]
+    sm = run("spammass", "--input", str(tmp_path / "prior"),
+             "--sources", "1", "--max-iter", "30", "--k", "2")
+    assert sm["rows"] == 5 and set(sm["top_spam_ids"]) == {10, 11}
+    inc = run("incremental-components", "--input", str(tmp_path / "today"),
+              "--prior-labels", str(tmp_path / "labels"),
+              "--prior-edges", str(tmp_path / "prior"))
+    # vertex 3 vanished with its only edge: {1,2} and {10,11} remain
+    assert inc["num_components"] == 2
