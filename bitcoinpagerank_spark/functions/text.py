@@ -319,3 +319,56 @@ def unigram_logprob(
             F.avg("nlp").alias("avg_neg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard shaper
+    that turns a curated corpus into training examples.
+
+    (doc_id, chunk_idx, n_tokens, chunk_text): token windows of size
+    ``window`` starting every ``stride`` tokens (overlap = window −
+    stride); the final partial window is kept when it has at least
+    ``min_tokens`` tokens OR it is the document's only chunk (short
+    documents still yield one example). Tokenization is the engine's
+    whitespace convention (``tokens_col``); chunk_text re-joins with
+    single spaces, so the output is canonical regardless of input
+    whitespace.
+
+    Pure Catalyst — sequence() over start offsets, slice() for the
+    window, no explode of per-token rows: the shuffle-free map-side cost
+    is O(total tokens), and the row fan-out is n_tokens/stride per doc
+    (bounded, deterministic). Exactly replayable in SQL via the same
+    generate_series/list-slice arithmetic (catalog ``doc_chunks``)."""
+    toks = tokens_col(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), toks.alias("toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(F.col("toks"), F.col("start") + 1, window).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("w").alias("n_tokens"),
+            F.array_join("w", " ").alias("chunk_text"),
+        )
+    )
+    return out.where(
+        (F.col("n_tokens") >= min_tokens) | (F.col("chunk_idx") == 0)
+    ).where(F.col("n_tokens") > 0)

@@ -3808,6 +3808,47 @@ def q_doc_top_terms(spark, sf_dir):
     )
 
 
+# fixed-token-window chunking with overlap: the corpus → training-example
+# shaper. Pure arithmetic on both engines (generate_series starts,
+# list_slice windows), so the full chunk text hash-verifies.
+@register(
+    "doc_chunks",
+    r"""WITH ct AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    st AS (
+      -- scalar generate_series (returns a list) + unnest: DuckDB's table
+      -- function form rejects lateral column parameters
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
+      FROM ct
+    ),
+    w AS (
+      SELECT doc_id,
+             s // 48 AS chunk_idx,
+             list_slice(toks, s + 1, s + 64) AS win
+      FROM st
+    )
+    SELECT doc_id, chunk_idx,
+           len(win) AS n_tokens,
+           array_to_string(win, ' ') AS chunk_text
+    FROM w
+    WHERE len(win) > 0 AND (len(win) >= 8 OR chunk_idx = 0)""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (window 64, stride 48, min tail
+    8 tokens): the shaper that turns the curated corpus into
+    training-ready examples; whitespace-canonical chunk_text."""
+    from ..functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window=64, stride=48, min_tokens=8
+    )
+
+
 _TOKS_CTE = r"""toks AS (
   SELECT doc_id AS id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -186,3 +186,27 @@ def test_udaf_geometric_mean(spark):
            df.groupBy("k").agg(geometric_mean("v").alias("g")).collect()}
     assert got["a"] == pytest.approx(math.sqrt(4.0))
     assert got["b"] == pytest.approx(9.0)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from bitcoinpagerank_spark.functions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, words),          # 10 tokens: w=4, s=3 -> 0..3,3..6,6..9,9
+            (2, "only two"),     # short doc: single chunk kept
+            (3, "   "),          # whitespace-only: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=3, min_tokens=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts 0,3,6,9 -> windows of 4,4,4,1; the 1-token tail (<2) drops
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # overlap of 1
+    assert rows[(1, 2)]["n_tokens"] == 4
+    # doc 2: below min_tokens but chunk_idx 0 is always kept
+    assert rows[(2, 0)]["chunk_text"] == "only two"
+    assert not any(k[0] == 3 for k in rows)
