@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST
+from .edges import BROADCAST_HINT_MAX, DST, SRC
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 
@@ -37,10 +37,19 @@ def bfs_distances(
     sources: DataFrame | list,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    broadcast_hints: bool = True,
 ) -> BfsResult:
     """Hop distance from the seed set along edge direction; unreachable
     vertices are absent from the result (callers left-join against the
-    vertex table if they want nulls)."""
+    vertex table if they want nulls).
+
+    The loop observes the frontier count every round anyway, so the
+    frontier join and the settled-set anti-join carry deterministic
+    ``F.broadcast`` hints while those tables are ≤ BROADCAST_HINT_MAX
+    rows — the plain checkpoints' inflated size estimates would
+    otherwise force a full shuffle join per round (the SCC r5 finding);
+    ``broadcast_hints=False`` keeps the pure-shuffle plan selectable
+    for A/B."""
     if num_partitions is None:
         from .edges import default_partitions
 
@@ -63,6 +72,7 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    settled = f_cnt = dist.count()
 
     converged = False
     it = 0
@@ -70,13 +80,17 @@ def bfs_distances(
     while it < max_iter:
         t0 = time.monotonic()
         # expand: out-neighbors of the frontier not yet settled
+        f_side = frontier.select(F.col("id").alias(SRC), "dist")
+        if broadcast_hints and f_cnt <= BROADCAST_HINT_MAX:
+            f_side = F.broadcast(f_side)
+        anti_side = dist.select("id")
+        if broadcast_hints and settled <= BROADCAST_HINT_MAX:
+            anti_side = F.broadcast(anti_side)
         reached = (
-            e.join(
-                frontier.select(F.col("id").alias(SRC), "dist"), SRC, "inner"
-            )
+            e.join(f_side, SRC, "inner")
             .select(F.col(DST).alias("id"), (F.col("dist") + 1).alias("dist"))
             .distinct()
-            .join(dist.select("id"), "id", "left_anti")
+            .join(anti_side, "id", "left_anti")
         )
         obs = Observation(f"bfs_round_{it}")
         grp = next_group("bfs", it)
@@ -97,6 +111,8 @@ def bfs_distances(
             break
         dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
         frontier = new_frontier
+        f_cnt = cnt
+        settled += cnt
     return BfsResult(dist, it, converged, metrics)
 
 
@@ -106,6 +122,7 @@ def labeled_bfs(
     sources: DataFrame | list,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    broadcast_hints: bool = True,
 ) -> BfsResult:
     """Per-source hop distances: (src, id, dist) for every (seed, vertex)
     pair with a directed path seed→vertex. Same frontier loop as
@@ -133,17 +150,24 @@ def labeled_bfs(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    settled = f_cnt = dist.count()
 
     converged = False
     it = 0
     metrics: list[dict] = []
     while it < max_iter:
         t0 = time.monotonic()
+        f_side = frontier.select(F.col("id").alias(SRC), "src", "dist")
+        if broadcast_hints and f_cnt <= BROADCAST_HINT_MAX:
+            f_side = F.broadcast(f_side)
+        anti_side = dist.select("src", "id")
+        if broadcast_hints and settled <= BROADCAST_HINT_MAX:
+            anti_side = F.broadcast(anti_side)
         reached = (
-            e.join(frontier.select(F.col("id").alias(SRC), "src", "dist"), SRC)
+            e.join(f_side, SRC)
             .select("src", F.col(DST).alias("id"), (F.col("dist") + 1).alias("dist"))
             .distinct()
-            .join(dist.select("src", "id"), ["src", "id"], "left_anti")
+            .join(anti_side, ["src", "id"], "left_anti")
         )
         obs = Observation(f"lbfs_round_{it}")
         grp = next_group("lbfs", it)
@@ -164,6 +188,8 @@ def labeled_bfs(
             break
         dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
         frontier = new_frontier
+        f_cnt = cnt
+        settled += cnt
     return BfsResult(dist, it, converged, metrics)
 
 

@@ -34,6 +34,15 @@ def auto_partitions(spark, n_edges: int) -> int:
     return max(8, min(n_edges // EDGES_PER_PARTITION + 1, default))
 
 
+# iterative operators hint F.broadcast on bounded per-round tables
+# (frontiers, settled sets, label tables) whose row count the loop already
+# tracks: plain localCheckpoints carry inflated size ESTIMATES that
+# silently disqualify genuinely-small tables from auto-broadcast (measured
+# ×1.5 on SCC, BENCH.md r5 2×2). Above this bound — and always at web
+# scale, where these tables are vertex-sized — the hint self-disables and
+# the shuffle plan is the right one.
+BROADCAST_HINT_MAX = 2_000_000
+
 # rough on-disk/in-cache cost of one (src_id, dst_id) edge row; only feeds
 # the bounded partition-count heuristic below, so ±4x error is harmless
 # (the result is clamped to [8, shuffle.partitions] either way)

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST, default_partitions
+from .edges import BROADCAST_HINT_MAX, DST, SRC, default_partitions
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 
@@ -97,6 +97,7 @@ def sssp(
         [(int(source), 0.0)], "id long, dist double"
     ).repartition(num_partitions, "id").localCheckpoint(eager=True)
     frontier = dist  # vertices improved last round — only they relax
+    f_cnt = 1  # frontier size is last round's improved count — known free
 
     metrics: list[dict] = []
     converged = False
@@ -105,8 +106,14 @@ def sssp(
         t0 = time.monotonic()
         grp = next_group("sssp", r)
         obs_relax = Observation(f"sssp_relax_{r}")
+        f_side = frontier.select(F.col("id").alias(SRC), "dist")
+        if f_cnt <= BROADCAST_HINT_MAX:
+            # deterministic hint: the checkpoint's inflated size estimate
+            # would otherwise shuffle the edge table against a frontier the
+            # loop KNOWS is small (edges.py BROADCAST_HINT_MAX rationale)
+            f_side = F.broadcast(f_side)
         cand = (
-            e.join(frontier.select(F.col("id").alias(SRC), "dist"), SRC)
+            e.join(f_side, SRC)
             .select(F.col(DST).alias("id"), (F.col("dist") + F.col("w")).alias("cand"))
             .observe(obs_relax, F.count(F.lit(1)).alias("n_relaxed"))
         )
@@ -134,6 +141,7 @@ def sssp(
         dist = merged.select("id", "dist")
         # next frontier: filter on the already-materialized checkpoint
         frontier = merged.where(F.col("improved") == 1).select("id", "dist")
+        f_cnt = improved
         srb, swb = group_shuffle_bytes(spark, grp)
         rounds = r + 1
         metrics.append(
