@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .edges import SRC, DST
+from .edges import BROADCAST_HINT_MAX, DST, SRC
 from .lineage import group_shuffle_bytes, job_group, next_group
 
 
@@ -58,16 +58,24 @@ def _forward(spark, e, sources, num_partitions, max_iter, metrics):
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    settled = f_cnt = dist.count()
     it = 0
     converged = False
     while it < max_iter:
         t0 = time.monotonic()
+        # deterministic broadcast hints on the loop-tracked small sides
+        # (edges.py BROADCAST_HINT_MAX rationale — the bfs.py pattern)
+        f_side = frontier.select(F.col("id").alias(SRC), "src", "dist", "sigma")
+        if f_cnt <= BROADCAST_HINT_MAX:
+            f_side = F.broadcast(f_side)
+        anti_side = dist.select("src", "id")
+        if settled <= BROADCAST_HINT_MAX:
+            anti_side = F.broadcast(anti_side)
         reached = (
-            e.join(frontier.select(F.col("id").alias(SRC), "src", "dist", "sigma"),
-                   SRC)
+            e.join(f_side, SRC)
             .select("src", F.col(DST).alias("id"),
                     (F.col("dist") + 1).alias("dist"), "sigma")
-            .join(dist.select("src", "id"), ["src", "id"], "left_anti")
+            .join(anti_side, ["src", "id"], "left_anti")
             .groupBy("src", "id", "dist")
             .agg(F.sum("sigma").alias("sigma"))
         )
@@ -90,6 +98,8 @@ def _forward(spark, e, sources, num_partitions, max_iter, metrics):
             break
         dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
         frontier = new_frontier
+        f_cnt = cnt
+        settled += cnt
     return dist, it, converged
 
 
