@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="centrality: which algorithm")
     args = ap.parse_args(argv)
 
+    if args.command == "incremental-components" and (
+        args.prior_labels is None or args.prior_edges is None
+    ):
+        ap.error(
+            "incremental-components requires --prior-labels and "
+            "--prior-edges (yesterday's CC labels and edge set)"
+        )
+
     from .session import get_spark
 
     spark = get_spark(app_name=f"bpr-{args.command}", master=args.master)

@@ -150,7 +150,13 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     hs.append(img.shape[0])
                     cs.append(img.shape[2])
                     means.append(float(img.mean()))
-                except (ValueError, NotImplementedError, zlib.error):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    zlib.error,
+                    # truncated IHDR/chunk headers surface as struct.error
+                    struct.error,
+                ):
                     ws.append(None)
                     hs.append(None)
                     cs.append(None)

@@ -111,6 +111,18 @@ def shingle_ids(token_ids: Column) -> Column:
     )
 
 
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Space-joined n-token n-grams of a token array (array<string>) —
+    the literal strings, not hashes, so a DuckDB oracle can replay the
+    exact join keys. Documents with fewer than ``n`` tokens yield an
+    empty array (same sequence(1,0)-descends guard as shingle_ids)."""
+    sz = F.size(toks)
+    idxs = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
 def winnow_fingerprints(token_ids: Column, w: int = 4) -> Column:
     """Winnowing (Schleimer et al., MOSS): over the positional 3-token
     shingle hash sequence, take the minimum of every length-``w`` window —
@@ -336,10 +348,14 @@ def chunk_documents(
     ``window`` starting every ``stride`` tokens (overlap = window −
     stride); the final partial window is kept when it has at least
     ``min_tokens`` tokens OR it is the document's only chunk (short
-    documents still yield one example). Tokenization is the engine's
-    whitespace convention (``tokens_col``); chunk_text re-joins with
-    single spaces, so the output is canonical regardless of input
-    whitespace.
+    documents still yield one example). A tail window whose content is
+    FULLY CONTAINED in the previous window (previous start + window ≥
+    n_tokens) is never emitted — start offsets stop at
+    n_tokens − window + stride − 1, so no chunk duplicates an earlier
+    chunk's token span (redundant near-duplicate training examples).
+    Tokenization is the engine's whitespace convention (``tokens_col``);
+    chunk_text re-joins with single spaces, so the output is canonical
+    regardless of input whitespace.
 
     Pure Catalyst — sequence() over start offsets, slice() for the
     window, no explode of per-token rows: the shuffle-free map-side cost
@@ -347,9 +363,11 @@ def chunk_documents(
     (bounded, deterministic). Exactly replayable in SQL via the same
     generate_series/list-slice arithmetic (catalog ``doc_chunks``)."""
     toks = tokens_col(F.col(text_col))
+    # last useful start s satisfies s - stride + window < n (the prior
+    # window did not already cover the document's end)
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.greatest(F.size(toks) - (window - stride + 1), F.lit(0)),
         F.lit(stride),
     )
     out = (

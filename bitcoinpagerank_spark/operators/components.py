@@ -96,6 +96,7 @@ def connected_components(
     start_pairs: DataFrame | None = None,
     prior_metrics: list[dict] | None = None,
     start_sig: tuple | None = None,
+    input_sig: tuple | None = None,
 ) -> ComponentsResult:
     """Resumability (north_rule: any run resumes mid-iteration): pass
     ``checkpoint_dir`` to snapshot the oriented pair set (the loop's
@@ -127,6 +128,14 @@ def connected_components(
             .repartition(num_partitions, "a")
             .localCheckpoint(eager=True)
         )
+        if checkpoint_dir and input_sig is None:
+            # fingerprint of the INPUT pair set, recorded in every
+            # manifest so a resume against a different --input fails
+            # loudly instead of silently joining yesterday's pair
+            # snapshot with today's graph (the bit-identical guarantee
+            # only holds for the same edge set). One agg on the already
+            # cached pairs — cheap next to the rounds it guards.
+            input_sig = _pairs_sig(pairs)
 
     converged = False
     it = start_iteration
@@ -154,14 +163,15 @@ def connected_components(
         )
         pairs = new_pairs
         if checkpoint_dir and (it - start_iteration) % checkpoint_interval == 0:
-            _write_cc_snapshot(pairs, metrics, it, sig, checkpoint_dir)
+            _write_cc_snapshot(pairs, metrics, it, sig, checkpoint_dir,
+                               input_sig=input_sig)
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
     if checkpoint_dir:
         _write_cc_snapshot(pairs, metrics, it, prev_sig, checkpoint_dir,
-                           final=True)
+                           final=True, input_sig=input_sig)
 
     # at the fixpoint each non-root vertex appears exactly once as `a`
     # (star forest); the groupBy-min also makes a max_iter cutoff safe
@@ -176,6 +186,16 @@ def connected_components(
     return ComponentsResult(labels, it, converged, metrics)
 
 
+def _pairs_sig(pairs: DataFrame) -> tuple:
+    """(count, xxhash64-XOR) fingerprint of a canonical pair set —
+    order-insensitive, so it is stable across partitionings."""
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("hxor"),
+    ).collect()[0]
+    return (int(row["cnt"] or 0), row["hxor"])
+
+
 def _write_cc_snapshot(
     pairs: DataFrame,
     metrics: list[dict],
@@ -183,6 +203,7 @@ def _write_cc_snapshot(
     sig: tuple | None,
     checkpoint_dir: str,
     final: bool = False,
+    input_sig: tuple | None = None,
 ) -> None:
     from ..sources.tablestore import TableStore
 
@@ -195,6 +216,7 @@ def _write_cc_snapshot(
         "pairs_path": loc,
         "backend": store.backend,
         "sig": list(sig) if sig else None,
+        "input_sig": list(input_sig) if input_sig else None,
         "metrics": metrics,
     })
 
@@ -222,6 +244,29 @@ def resume_components(
             f"{checkpoint_dir} holds a {manifest.get('kind') or 'pagerank'} "
             "snapshot, not a components one"
         )
+    input_sig = None
+    if manifest.get("input_sig"):
+        # the pair-set snapshot is only a sound resume point for the
+        # SAME edge set — verify today's --input against the recorded
+        # fingerprint before touching the snapshot (one agg job).
+        input_sig = tuple(manifest["input_sig"])
+        today = _pairs_sig(
+            edges.select(
+                F.greatest(F.col(SRC), F.col(DST)).alias("a"),
+                F.least(F.col(SRC), F.col(DST)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        if today != input_sig:
+            raise ValueError(
+                f"{checkpoint_dir} was written for a different edge set "
+                f"(snapshot input fingerprint {input_sig}, current edges "
+                f"{today}) — resuming would silently mix yesterday's "
+                "pair snapshot with today's graph; run a fresh "
+                "connected_components (or incremental_components for a "
+                "delta) instead"
+            )
     store = TableStore(spark, checkpoint_dir, backend=manifest.get("backend"))
     pairs = store.read_table(manifest["pairs_path"])
     sig = tuple(manifest["sig"]) if manifest.get("sig") else None
@@ -233,6 +278,7 @@ def resume_components(
         start_pairs=pairs,
         prior_metrics=manifest.get("metrics") or [],
         start_sig=sig,
+        input_sig=input_sig,
         **kwargs,
     )
 
@@ -359,10 +405,15 @@ def incremental_components(
         .join(prior_labels, "id")
         .select("component")
         .distinct()
-    )
-    clean_labels = prior_labels.join(
-        F.broadcast(dirty), "component", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
+    # The dirty set scales with the deletion delta, which is unbounded
+    # (a TLD delisting can touch millions of components) — hint broadcast
+    # only under the repo-wide bound, plain shuffle anti-join above it.
+    from .edges import BROADCAST_HINT_MAX
+
+    n_dirty = dirty.count()
+    dirty_side = F.broadcast(dirty) if n_dirty <= BROADCAST_HINT_MAX else dirty
+    clean_labels = prior_labels.join(dirty_side, "component", "left_anti")
     clean_vs = clean_labels.select("id")
 
     # drop yesterday's clean-clean edges (implied by the label stars);

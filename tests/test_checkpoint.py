@@ -262,3 +262,31 @@ def test_resume_components_rejects_pagerank_snapshot(spark, tmp_path):
              checkpoint_interval=1)
     with _pytest.raises(ValueError, match="not a components"):
         resume_components(spark, e, ckpt)
+
+
+def test_resume_components_rejects_different_edge_set(spark, tmp_path):
+    """ADVICE r5: the CC manifest records an input-edge fingerprint
+    (count + xxhash64 XOR of the canonical pair set); resuming against a
+    DIFFERENT --input must fail loudly instead of silently joining
+    yesterday's pair snapshot with today's graph."""
+    import pytest as _pytest
+
+    from bitcoinpagerank_spark.operators.components import (
+        connected_components,
+        resume_components,
+    )
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(i, i + 1) for i in range(40)])
+    ckpt = str(tmp_path / "cc_sig_ckpt")
+    connected_components(spark, e, max_iter=1, num_partitions=4,
+                         checkpoint_dir=ckpt, checkpoint_interval=1)
+    other = edges_df(spark, [(i, i + 2) for i in range(40)])
+    with _pytest.raises(ValueError, match="different edge set"):
+        resume_components(spark, other, ckpt, num_partitions=4)
+    # same edges (any row order / duplication) still resume fine:
+    # the fingerprint is over the canonical DISTINCT pair set
+    dup = edges_df(spark, [(i, i + 1) for i in range(40)]
+                   + [(5, 6), (1, 0)])
+    res = resume_components(spark, dup, ckpt, num_partitions=4)
+    assert res.converged

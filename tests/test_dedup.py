@@ -264,3 +264,55 @@ def test_corpus_filter_hand_case(spark):
            corpus_filter(docs, min_tokens=5, max_tokens=50).collect()}
     assert set(out) == {1}
     assert out[1]["lang_pred"] == "en" and out[1]["n_tokens"] == 15
+
+
+def test_decontaminate_planted_13gram(spark):
+    """Planted contamination: a corpus doc embeds an exact 13-token span
+    from an eval doc; it must be flagged with the right evidence n-gram,
+    and near-miss docs (12-token overlap) must not be."""
+    from bitcoinpagerank_spark.operators.dedup import decontaminate
+
+    span = " ".join(f"e{i}" for i in range(13))       # 13 eval tokens
+    near = " ".join(f"e{i}" for i in range(12))       # only 12 of them
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma"),          # contaminated
+            (2, f"alpha beta {near} gamma delta"),    # 12-gram: clean
+            (3, "totally unrelated words only here"), # clean
+            (4, span),                                # the span verbatim
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"preamble {span} postamble")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["sample_ngram"])
+        for r in decontaminate(corpus, eval_docs, n=13).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[4] == (1, span)       # exactly one shared 13-gram
+    assert got[1][1] == span         # min n-gram is the planted span
+    assert got[1][0] >= 1
+
+
+def test_decontaminate_eval_broadcast_gated(spark, monkeypatch):
+    """The eval n-gram side is broadcast only under BROADCAST_HINT_MAX —
+    same tracked-count gate as every other hint site."""
+    from bitcoinpagerank_spark.operators import edges as edges_mod
+    from bitcoinpagerank_spark.operators.dedup import decontaminate
+
+    text = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, text)], "doc_id long, text string")
+
+    monkeypatch.setattr(edges_mod, "BROADCAST_HINT_MAX", 3)
+    out = decontaminate(corpus, ev, n=13)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan
+    assert out.count() == 1  # still correct via the shuffle join
+
+    monkeypatch.setattr(edges_mod, "BROADCAST_HINT_MAX", 2_000_000)
+    out2 = decontaminate(corpus, ev, n=13)
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan2

@@ -210,3 +210,26 @@ def test_chunk_documents_windows_and_tail(spark):
     # doc 2: below min_tokens but chunk_idx 0 is always kept
     assert rows[(2, 0)]["chunk_text"] == "only two"
     assert not any(k[0] == 3 for k in rows)
+
+
+def test_chunk_documents_no_contained_tail(spark):
+    """A tail window fully contained in the previous window is never
+    emitted, even when it passes min_tokens (ADVICE r5: n=window with
+    stride<window used to duplicate chunk 0's suffix as a second
+    chunk)."""
+    from bitcoinpagerank_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(4))),   # n == window
+            (2, " ".join(f"w{i}" for i in range(6))),   # tail adds new tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=3, min_tokens=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: start 3 would give w3 only — contained in chunk 0 — dropped
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0)]
+    # doc 2: start 3 covers w3..w5, which extends past chunk 0 — kept
+    assert sorted(k for k in rows if k[0] == 2) == [(2, 0), (2, 1)]
+    assert rows[(2, 1)]["chunk_text"] == "w3 w4 w5"
