@@ -23,7 +23,17 @@ Env knobs:
   BENCH_ONLY           comma-separated subset of query names to run
   BENCH_REPS           interleaved sweeps, min recorded (default 2)
   BENCH_LOAD_GATE      start gate: wait while 1-min load avg exceeds
-                       this (default 6; 0 disables), up to 180 s
+                       this (default 3; 0 disables), up to 900 s
+  BENCH_QUIET_CAL      best known quiet-window calibration_sec for this
+                       host (default 0.364, BENCH.md r4); drives the
+                       storm retry + flag
+  BENCH_RETRY          when the first sweep's calibration exceeds
+                       1.5x BENCH_QUIET_CAL, re-gate and re-run the
+                       whole sweep once, keeping the quieter attempt
+                       (default 1; 0 disables). The emitted JSON flags
+                       `storm: true` whenever the kept attempt is still
+                       >1.2x the quiet baseline, so every BENCH_r{N}
+                       number is attributable.
 """
 
 from __future__ import annotations
@@ -47,7 +57,7 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _load_gate(threshold: float, max_wait: float = 600.0) -> tuple[float, bool]:
+def _load_gate(threshold: float, max_wait: float = 900.0) -> tuple[float, bool]:
     """Spin-wait until the 1-min load average drops below ``threshold``
     (or ``max_wait`` expires); returns (load when the gate opened,
     gate_timed_out) so the headline JSON is attributable when the host
@@ -69,7 +79,7 @@ def main() -> None:
         s for s in os.environ.get("BENCH_ONLY", "").split(",") if s
     )
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    gate = float(os.environ.get("BENCH_LOAD_GATE", "6"))
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "3"))
 
     start_load, gate_timed_out = _load_gate(gate)
 
@@ -174,16 +184,41 @@ def main() -> None:
     }:
         ensure_edges()
 
-    walls: dict[str, list[float]] = {}
-    rep_loads: list[float] = []
-    for _rep in range(reps):
-        rep_loads.append(round(os.getloadavg()[0], 2))
-        for name, fn in sweep:
-            if only and name != "calibration" and name not in only:
-                continue
-            t0 = time.monotonic()
-            fn()
-            walls.setdefault(name, []).append(time.monotonic() - t0)
+    def run_sweep() -> tuple[dict[str, list[float]], list[float]]:
+        walls: dict[str, list[float]] = {}
+        rep_loads: list[float] = []
+        for _rep in range(reps):
+            rep_loads.append(round(os.getloadavg()[0], 2))
+            for name, fn in sweep:
+                if only and name != "calibration" and name not in only:
+                    continue
+                t0 = time.monotonic()
+                fn()
+                walls.setdefault(name, []).append(time.monotonic() - t0)
+        return walls, rep_loads
+
+    # storm-retry protocol (judge r5 Next #3): a sweep whose calibration
+    # job ran >1.5x slower than the host's known quiet value was measured
+    # in a load storm — re-gate and re-run ONCE, keep the quieter attempt,
+    # and flag `storm` when even that is >1.2x quiet so the artifact is
+    # attributable either way.
+    quiet_cal = float(os.environ.get("BENCH_QUIET_CAL", "0.364"))
+    walls, rep_loads = run_sweep()
+    calibrations_attempts = [round(min(walls["calibration"]), 3)]
+    retried = False
+    if (
+        min(walls["calibration"]) > 1.5 * quiet_cal
+        and os.environ.get("BENCH_RETRY", "1") != "0"
+    ):
+        retried = True
+        _load_gate(gate, max_wait=600.0)
+        walls2, rep_loads2 = run_sweep()
+        calibrations_attempts.append(round(min(walls2["calibration"]), 3))
+        if min(walls2["calibration"]) < min(walls["calibration"]):
+            walls, rep_loads = walls2, rep_loads2
+
+    cal_sec = min(walls["calibration"])
+    storm = cal_sec > 1.2 * quiet_cal
 
     timings = {
         name: round(min(ws), 3)
@@ -208,10 +243,14 @@ def main() -> None:
                 "cpus": cpus,
                 "n_pages": n_pages,
                 "reps": reps,
-                "calibration_sec": round(min(walls["calibration"]), 3),
+                "calibration_sec": round(cal_sec, 3),
                 "calibration_reps_sec": [
                     round(w, 3) for w in walls["calibration"]
                 ],
+                "calibration_attempts_sec": calibrations_attempts,
+                "quiet_calibration_sec": quiet_cal,
+                "storm": storm,
+                "retried": retried,
                 "load_at_start": round(start_load, 2),
                 "gate_timed_out": gate_timed_out,
                 "load_per_rep": rep_loads,

@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
         "labelprop", "triangles", "topk", "ktruss", "harmonic", "linkpred",
         "mis", "coloring", "sssp", "centrality", "louvain",
         "trustrank", "spammass", "incremental-components",
+        "decontaminate",
     ])
     ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", help="output parquet/csv path")
@@ -73,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--variant", default="katz",
                     choices=["katz", "eigenvector", "salsa"],
                     help="centrality: which algorithm")
+    ap.add_argument("--eval-set", default=None,
+                    help="decontaminate: eval-set parquet (doc_id, text)")
+    ap.add_argument("--ngram", type=int, default=13,
+                    help="decontaminate: n-gram size (default 13)")
     args = ap.parse_args(argv)
 
     if args.command == "incremental-components" and (
@@ -82,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
             "incremental-components requires --prior-labels and "
             "--prior-edges (yesterday's CC labels and edge set)"
         )
+    if args.command == "decontaminate" and args.eval_set is None:
+        ap.error("decontaminate requires --eval-set (doc_id, text parquet)")
 
     from .session import get_spark
 
@@ -354,6 +361,27 @@ def main(argv: list[str] | None = None) -> int:
         top = sm.orderBy(F.desc("spam_mass"), F.asc("id")).limit(args.k)
         print(json.dumps({"rows": sm.count(),
                           "top_spam_ids": [r["id"] for r in top.collect()]}))
+        return 0
+
+    if args.command == "decontaminate":
+        from .operators.dedup import decontaminate
+
+        corpus = spark.read.parquet(args.input)
+        eval_docs = spark.read.parquet(args.eval_set)
+        flags = decontaminate(corpus, eval_docs, n=args.ngram)
+        if args.output:
+            flags.write.mode("overwrite").parquet(args.output)
+        from pyspark.sql import functions as F
+
+        agg = flags.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_hits").alias("hits"),
+        ).collect()[0]
+        print(json.dumps({
+            "contaminated_docs": int(agg["docs"] or 0),
+            "total_ngram_hits": int(agg["hits"] or 0),
+            "ngram": args.ngram,
+        }))
         return 0
 
     if args.command == "incremental-components":

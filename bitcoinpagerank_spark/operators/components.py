@@ -361,6 +361,7 @@ def incremental_components(
     prior_edges: DataFrame,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    fallback_frac: float = 0.5,
 ) -> ComponentsResult:
     """Incremental CC for arbitrary edge DELTAS — additions AND deletions
     (judge r4 Next #6; ``warm_start_components`` raises on deletions by
@@ -413,6 +414,28 @@ def incremental_components(
 
     n_dirty = dirty.count()
     dirty_side = F.broadcast(dirty) if n_dirty <= BROADCAST_HINT_MAX else dirty
+
+    # degenerate-delta guard (measured on R-MAT-18, scripts/
+    # incr_cc_stress.py): on a giant-component graph ONE interior
+    # deletion dirties the whole component, so the reduced recompute is
+    # as large as a cold run while the delta machinery (deleted/dirty/
+    # droppable/retained anti-joins) adds ~6 shuffles of pure overhead —
+    # incremental ran ~2.4x SLOWER than cold. When the dirty components
+    # hold more than ``fallback_frac`` of yesterday's vertices, run the
+    # cold recompute directly: identical labels (the incremental result
+    # is defined as the cold result), worst case bounded at cold + two
+    # count jobs. The incremental path stays the win it was built for —
+    # deltas touching a bounded neighborhood of a many-component graph.
+    if fallback_frac is not None and n_dirty > 0:
+        dirty_mass = prior_labels.join(
+            dirty_side, "component", "left_semi"
+        ).count()
+        if dirty_mass > fallback_frac * prior_labels.count():
+            return connected_components(
+                spark, edges, max_iter=max_iter,
+                num_partitions=num_partitions,
+            )
+
     clean_labels = prior_labels.join(dirty_side, "component", "left_anti")
     clean_vs = clean_labels.select("id")
 
@@ -441,6 +464,120 @@ def incremental_components(
     # singleton) — they keep their prior label, which is themselves
     labels = (
         vertices(edges)
+        .join(res.labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return ComponentsResult(labels, res.iterations, res.converged, res.metrics)
+
+
+def incremental_components_from_delta(
+    spark: SparkSession,
+    prior_edges: DataFrame,
+    prior_labels: DataFrame,
+    additions: DataFrame,
+    deletions: DataFrame,
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+    fallback_frac: float = 0.5,
+) -> ComponentsResult:
+    """Incremental CC when the edge DELTA is already known — the API a
+    daily crawl pipeline actually has (its differ emits added/deleted
+    edge lists; it does not need yesterday's and today's full edge
+    tables anti-joined to rediscover them).
+
+    Cost shape vs ``incremental_components`` (measured r6,
+    scripts/incr_cc_stress.py): the derive-the-delta variant spends
+    three |E|-scale joins on delta analysis (deleted anti-join,
+    droppable 3-way semi, retained anti-join), which at sandbox scale
+    exceeds what the reduced recompute saves. Here every analysis join
+    is DELTA- or DIRTY-scale:
+
+    - old_kept  = prior anti-join deletions  (deletions broadcast-gated)
+    - dirty     = deletion endpoints -> prior labels -> components
+    - retained  = old_kept edges with >= 1 endpoint in a dirty component
+                  (two semi-joins vs the dirty vertex set, broadcast
+                  under BROADCAST_HINT_MAX)
+    - input     = retained + additions + clean label stars (|V_clean|)
+
+    Additions never dirty anything: an added edge can only merge
+    components, and it is fed to the contraction verbatim; brand-new
+    vertices ride their added edges. The same degenerate-delta fallback
+    applies: when dirty components hold more than ``fallback_frac`` of
+    yesterday's vertices, run the cold recompute on the composed edge
+    set directly. Result equals ``connected_components(prior - deletions
+    + additions)`` exactly (randomized pytest equivalence)."""
+    from .edges import BROADCAST_HINT_MAX
+
+    prev = _canon_pairs(prior_edges)
+    dele = _canon_pairs(deletions).localCheckpoint(eager=True)
+    add = _canon_pairs(additions)
+
+    n_del = dele.count()
+    del_side = F.broadcast(dele) if n_del <= BROADCAST_HINT_MAX else dele
+    old_kept = prev.join(del_side, ["a", "b"], "left_anti")
+    today = old_kept.unionByName(add)
+
+    if n_del == 0:
+        # pure-growth delta: the warm-start contract, no dirty set at all
+        return warm_start_components(
+            spark,
+            today.select(F.col("a").alias(SRC), F.col("b").alias(DST)),
+            prior_labels,
+            max_iter=max_iter,
+            num_partitions=num_partitions,
+        )
+
+    dirty = (
+        dele.select(F.col("a").alias("id"))
+        .unionByName(dele.select(F.col("b").alias("id")))
+        .distinct()
+        .join(prior_labels, "id")
+        .select("component")
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n_dirty = dirty.count()
+    dirty_side = F.broadcast(dirty) if n_dirty <= BROADCAST_HINT_MAX else dirty
+
+    dirty_vs = (
+        prior_labels.join(dirty_side, "component", "left_semi")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    dirty_mass = dirty_vs.count()
+    if fallback_frac is not None and dirty_mass > fallback_frac * prior_labels.count():
+        return connected_components(
+            spark,
+            today.select(F.col("a").alias(SRC), F.col("b").alias(DST)),
+            max_iter=max_iter,
+            num_partitions=num_partitions,
+        )
+
+    dv_side = (
+        F.broadcast(dirty_vs) if dirty_mass <= BROADCAST_HINT_MAX else dirty_vs
+    )
+    retained_old = (
+        old_kept.join(dv_side.select(F.col("id").alias("a")), "a", "left_semi")
+        .unionByName(
+            old_kept.join(
+                dv_side.select(F.col("id").alias("b")), "b", "left_semi"
+            )
+        )
+        .distinct()
+    )
+    clean_labels = prior_labels.join(dirty_side, "component", "left_anti")
+    label_edges = clean_labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(SRC), F.col("component").alias(DST)
+    )
+    cc_input = (
+        retained_old.unionByName(add)
+        .select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .unionByName(label_edges)
+    )
+    res = connected_components(
+        spark, cc_input, max_iter=max_iter, num_partitions=num_partitions
+    )
+    labels = (
+        vertices(today.select(F.col("a").alias(SRC), F.col("b").alias(DST)))
         .join(res.labels, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )

@@ -1474,7 +1474,68 @@ def q_components_incremental(spark, sf_dir):
     prior = doc_edges(spark, sf_dir)
     today = prior.where((F.col("src_id") * 31 + F.col("dst_id")) % 7 != 0)
     prior_labels = connected_components(spark, prior).labels
-    return incremental_components(spark, today, prior_labels, prior).labels
+    # fallback_frac=None pins the driver check to the REDUCTION path
+    # (this delta dirties the doc graph's giant component, which the
+    # default would — correctly — route to a cold recompute; the
+    # fallback path is pytest-covered)
+    return incremental_components(
+        spark, today, prior_labels, prior, fallback_frac=None
+    ).labels
+
+
+# delta-GIVEN incremental CC (r6): the crawl-pipeline API — added and
+# deleted edge lists are inputs, so every analysis join is delta- or
+# dirty-scale instead of the derive-variant's three |E|-scale joins.
+# Deletions = the ~1/7 slice; additions attach brand-new vertices
+# (id+100000) to existing pages. Oracle = cold components of the
+# composed graph — the operator's whole contract.
+@register(
+    "g_components_incr_delta",
+    f"""WITH RECURSIVE {EDGES_CTE},
+    tedges AS (
+      SELECT src_id, dst_id FROM edges WHERE (src_id * 31 + dst_id) % 7 <> 0
+      UNION ALL
+      SELECT dst_id AS src_id, src_id + 100000 AS dst_id FROM edges
+      WHERE (src_id * 31 + dst_id) % 11 = 0
+    ),
+    tund AS (
+      SELECT src_id AS a, dst_id AS b FROM tedges
+      UNION SELECT dst_id, src_id FROM tedges
+    ),
+    tverts AS (
+      SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM tedges UNION ALL SELECT dst_id FROM tedges
+      )
+    ),
+    reach(id, r) AS (
+      SELECT id, id FROM tverts
+      UNION
+      SELECT reach.id, tund.b FROM reach JOIN tund ON reach.r = tund.a
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id""",
+)
+def q_components_incr_delta(spark, sf_dir):
+    """Delta-given incremental CC: deletions ~1/7 of the doc graph,
+    additions graft new vertices onto existing pages; must equal the
+    cold components of (prior − deletions) ∪ additions exactly.
+    fallback_frac=None pins the driver check to the reduction path."""
+    from ..operators.components import (
+        connected_components,
+        incremental_components_from_delta,
+    )
+
+    prior = doc_edges(spark, sf_dir)
+    key = F.col("src_id") * 31 + F.col("dst_id")
+    dele = prior.where(key % 7 == 0)
+    adds = prior.where(key % 11 == 0).select(
+        F.col("dst_id").alias("src_id"),
+        (F.col("src_id") + 100000).alias("dst_id"),
+    )
+    prior_labels = connected_components(spark, prior).labels
+    return incremental_components_from_delta(
+        spark, prior, prior_labels, adds, dele, fallback_frac=None
+    ).labels
+
 
 
 def _walk_steps_sql(walk_length: int) -> str:
@@ -3848,6 +3909,110 @@ def q_doc_chunks(spark, sf_dir):
 
     return chunk_documents(
         _t(spark, sf_dir, "documents"), window=64, stride=48, min_tokens=8
+    )
+
+
+# Gopher-family repetition metrics (Rae et al. 2021 §A1.1): share of the
+# token stream the single most repeated n-gram accounts for, n = 2 and 3.
+@register(
+    "doc_repetition",
+    r"""WITH ct AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[s:s+1], ' ')
+                     FOR s IN generate_series(1, greatest(len(toks)-1, 0))])
+               AS ng
+      FROM ct
+    ),
+    m2 AS (
+      SELECT doc_id, max(c) AS mx FROM
+        (SELECT doc_id, ng, count(*) AS c FROM g2 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[s:s+2], ' ')
+                     FOR s IN generate_series(1, greatest(len(toks)-2, 0))])
+               AS ng
+      FROM ct
+    ),
+    m3 AS (
+      SELECT doc_id, max(c) AS mx FROM
+        (SELECT doc_id, ng, count(*) AS c FROM g3 GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT ct.doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CAST(coalesce(m2.mx, 0) * 2 AS DOUBLE)
+                 / greatest(len(toks), 1), 9) AS top2gram_frac,
+           round(CAST(coalesce(m3.mx, 0) * 3 AS DOUBLE)
+                 / greatest(len(toks), 1), 9) AS top3gram_frac
+    FROM ct
+    LEFT JOIN m2 USING (doc_id)
+    LEFT JOIN m3 USING (doc_id)""",
+)
+def q_doc_repetition(spark, sf_dir):
+    """Per-doc top-2/3-gram repetition fractions — the Gopher quality
+    rules' boilerplate detector (drop docs dominated by one repeated
+    n-gram); explode + two-level agg per n, map-side partials."""
+    from ..functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+# subword-budget chunking: same shaper, windows measured in greedy
+# longest-match subword tokens (the units a BPE trainer bills). The
+# tokenizer is ONE regex — alternation ordered longest-first IS greedy
+# longest-match, and the identical pattern drives Spark's
+# regexp_extract_all and DuckDB's, so the full chunk text hash-verifies.
+def _bpe_chunks_sql() -> str:
+    from ..functions.text import bpe_pattern
+
+    # DuckDB single-quoted literals pass backslashes through verbatim,
+    # so the pattern string is inlined as-is (probe-verified: '\s' in a
+    # literal reaches RE2 as \s)
+    pat = bpe_pattern()
+    return rf"""WITH ct AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{pat}') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 9, 0), 24)) AS s
+      FROM ct
+    ),
+    w AS (
+      SELECT doc_id,
+             s // 24 AS chunk_idx,
+             list_slice(toks, s + 1, s + 32) AS win
+      FROM st
+    )
+    SELECT doc_id, chunk_idx,
+           len(win) AS n_tokens,
+           array_to_string(win, ' ') AS chunk_text
+    FROM w
+    WHERE len(win) > 0 AND (len(win) >= 8 OR chunk_idx = 0)"""
+
+
+@register("doc_chunks_bpe", _bpe_chunks_sql())
+def q_doc_chunks_bpe(spark, sf_dir):
+    """Sliding-window chunking in SUBWORD token units (window 32, stride
+    24, min tail 8): greedy longest-match against the fixed vocab via one
+    portable regex; chunk_text is the piece sequence."""
+    from ..functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        window=32,
+        stride=24,
+        min_tokens=8,
+        tokenizer="subword",
     )
 
 

@@ -26,7 +26,12 @@ def test_bridge_deletion_splits_component(spark):
     prior_df, today_df = edges_df(spark, prior), edges_df(spark, today)
     prior_labels = connected_components(spark, prior_df).labels
 
-    res = incremental_components(spark, today_df, prior_labels, prior_df)
+    # fallback_frac=None: this tiny delta dirties 4 of 7 vertices, which
+    # the default would route to a cold recompute; the reduction is the
+    # thing under test here
+    res = incremental_components(
+        spark, today_df, prior_labels, prior_df, fallback_frac=None
+    )
     got = _labels(res)
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10, 12: 10}
     # untouched component B's labels are REUSED, not recomputed: its three
@@ -82,8 +87,12 @@ def test_dirty_broadcast_gated_above_bound(spark, monkeypatch):
     prior_df, today_df = edges_df(spark, prior), edges_df(spark, today)
     prior_labels = connected_components(spark, prior_df).labels
 
+    # fallback_frac=None isolates the gate (this delta dirties every
+    # vertex, which would otherwise take the cold-fallback path)
     monkeypatch.setattr(edges_mod, "BROADCAST_HINT_MAX", 5)
-    res = incremental_components(spark, today_df, prior_labels, prior_df)
+    res = incremental_components(
+        spark, today_df, prior_labels, prior_df, fallback_frac=None
+    )
     # correctness unchanged either way
     assert _labels(res) == _labels(connected_components(spark, today_df))
     # and the gate took the shuffle path: no broadcast HINT in the
@@ -94,9 +103,37 @@ def test_dirty_broadcast_gated_above_bound(spark, monkeypatch):
 
     # under the bound the hint IS applied
     monkeypatch.setattr(edges_mod, "BROADCAST_HINT_MAX", 2_000_000)
-    res2 = incremental_components(spark, today_df, prior_labels, prior_df)
+    res2 = incremental_components(
+        spark, today_df, prior_labels, prior_df, fallback_frac=None
+    )
     plan2 = res2.labels._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in plan2
+
+
+def test_degenerate_delta_falls_back_to_cold(spark):
+    """When the dirty components hold most of yesterday's vertices
+    (giant-component interior deletion), incremental_components runs the
+    cold recompute directly — same labels, none of the delta machinery's
+    anti-join overhead (measured 2.4x slower than cold on R-MAT-18)."""
+    # one path component: ANY interior deletion dirties every vertex
+    prior = [(i, i + 1) for i in range(20)]
+    today = [(i, i + 1) for i in range(20) if i != 10]
+    prior_df, today_df = edges_df(spark, prior), edges_df(spark, today)
+    prior_labels = connected_components(spark, prior_df).labels
+
+    res = incremental_components(spark, today_df, prior_labels, prior_df)
+    cold = connected_components(spark, today_df)
+    assert _labels(res) == _labels(cold)
+    # fallback path: round-1 input is the RAW canonical edge set (19
+    # pairs), not the label-star-augmented reduction
+    assert res.metrics[0]["pairs"] == 19
+    # with the fallback disabled the reduction machinery runs instead
+    # (label edges re-enter the round-1 pair set: same count here but
+    # ids rewired through the star) — labels still exact
+    res2 = incremental_components(
+        spark, today_df, prior_labels, prior_df, fallback_frac=None
+    )
+    assert _labels(res2) == _labels(cold)
 
 
 def test_random_deltas_match_cold_recompute(spark):
@@ -122,3 +159,49 @@ def test_random_deltas_match_cold_recompute(spark):
     prior_labels = connected_components(spark, prior_df).labels
     res = incremental_components(spark, today_df, prior_labels, prior_df)
     assert _labels(res) == _labels(connected_components(spark, today_df))
+
+
+def test_from_delta_matches_cold_randomized(spark):
+    """Delta-given incremental CC (the crawl-pipeline API): equals a cold
+    recompute of (prior - deletions) + additions, including brand-new
+    vertices and pure-growth (warm-start) short-circuit."""
+    import random
+
+    from bitcoinpagerank_spark.operators.components import (
+        incremental_components_from_delta,
+    )
+
+    rng = random.Random(99)
+    n = 50
+    prior = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(80))
+        if a != b
+    }
+    deletions = set(rng.sample(sorted(prior), 15))
+    additions = {(rng.randrange(n), 100 + rng.randrange(20)) for _ in range(10)}
+    today = (prior - deletions) | additions
+    prior_df = edges_df(spark, sorted(prior))
+    prior_labels = connected_components(spark, prior_df).labels
+
+    res = incremental_components_from_delta(
+        spark,
+        prior_df,
+        prior_labels,
+        edges_df(spark, sorted(additions)),
+        edges_df(spark, sorted(deletions)),
+        fallback_frac=None,
+    )
+    cold = connected_components(spark, edges_df(spark, sorted(today)))
+    assert _labels(res) == _labels(cold)
+
+    # pure growth (no deletions) takes the warm-start path and agrees too
+    res2 = incremental_components_from_delta(
+        spark,
+        prior_df,
+        prior_labels,
+        edges_df(spark, sorted(additions)),
+        edges_df(spark, []).limit(0),
+    )
+    grown = connected_components(spark, edges_df(spark, sorted(prior | additions)))
+    assert _labels(res2) == _labels(grown)

@@ -233,3 +233,70 @@ def test_chunk_documents_no_contained_tail(spark):
     # doc 2: start 3 covers w3..w5, which extends past chunk 0 — kept
     assert sorted(k for k in rows if k[0] == 2) == [(2, 0), (2, 1)]
     assert rows[(2, 1)]["chunk_text"] == "w3 w4 w5"
+
+
+def test_subword_tokens_greedy_longest_match(spark):
+    """One regex = greedy longest-match: vocab pieces consume greedily
+    left-to-right, longest alternative first, single-char fallback,
+    whitespace never fused."""
+    from bitcoinpagerank_spark.functions.text import (
+        subword_token_count,
+        subword_tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Tables scanned fast",), ("xq zz",), ("",)], "text string"
+    )
+    out = df.select(
+        subword_tokens_col(F.col("text")).alias("p"),
+        subword_token_count(F.col("text")).alias("n"),
+    ).collect()
+    # 'tables' -> table+s (longest-first, not t+a+b+...); 'scanned' ->
+    # scan+n+ed; pieces never span the space
+    assert out[0]["p"] == ["table", "s", "scan", "n", "ed", "fast"]
+    assert out[0]["n"] == 6
+    assert out[1]["p"] == ["x", "q", "z", "z"]  # pure fallback
+    assert out[2]["p"] == []
+
+
+def test_chunk_documents_subword_tokenizer(spark):
+    from bitcoinpagerank_spark.functions.text import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        # 'tables scanned tables scanned' -> 10 subword pieces
+        [(1, "tables scanned tables scanned")], "doc_id long, text string"
+    )
+    out = chunk_documents(
+        docs, window=6, stride=4, min_tokens=2, tokenizer="subword"
+    )
+    rows = {r["chunk_idx"]: r for r in out.collect()}
+    assert rows[0]["chunk_text"] == "table s scan n ed table"
+    assert rows[0]["n_tokens"] == 6
+    assert rows[1]["chunk_text"] == "ed table s scan n ed"  # overlap 2
+    # window/stride are measured in SUBWORD units, not whitespace words
+    assert all(r["n_tokens"] <= 6 for r in rows.values())
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        chunk_documents(docs, tokenizer="bytes")
+
+
+def test_repetition_stats_hand_values(spark):
+    from bitcoinpagerank_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),    # 6 tokens; 'a b' x3 of 5 bigrams
+            (2, "x y z"),          # all n-grams unique
+            (3, "solo"),           # no 2-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["top2gram_frac"] == pytest.approx(3 * 2 / 6)   # 'a b'
+    assert rows[1]["top3gram_frac"] == pytest.approx(2 * 3 / 6)   # 'a b a'
+    assert rows[2]["top2gram_frac"] == pytest.approx(1 * 2 / 3)
+    assert rows[3]["top2gram_frac"] == 0.0
+    assert rows[3]["top3gram_frac"] == 0.0
