@@ -511,3 +511,64 @@ def decontaminate(
             F.min("ng").alias("sample_ngram"),
         )
     )
+
+
+def containment_pairs(
+    doc_tids: DataFrame,
+    w: int = 4,
+    threshold: float = 0.8,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, containment) DIRECTED pairs where doc a's winnowing
+    fingerprint set is mostly covered by doc b's:
+    containment = |FP(a) ∩ FP(b)| / |FP(a)| ≥ threshold.
+
+    Jaccard misses the quoted-article case — a short doc fully embedded
+    in a long one has low symmetric similarity but containment ≈ 1
+    (Broder's containment measure, the standard companion to resemblance
+    in near-dup pipelines). Winnowing fingerprints (Schleimer et al.)
+    guarantee shared elements for sufficiently long shared substrings,
+    so the shared-fingerprint bucket join never goes all-pairs; the same
+    ``df_cap`` heavy-key guard as ngram_jaccard_pairs drops
+    boilerplate fingerprints shared by everything BEFORE the join
+    (broadcast gated on a tracked count)."""
+    from ..functions.text import winnow_fingerprints
+
+    fp = doc_tids.select(
+        "id", F.explode(winnow_fingerprints(F.col("tids"), w=w)).alias("f")
+    )
+    if df_cap is not None:
+        heavy = (
+            fp.groupBy("f")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("f")
+            .localCheckpoint(eager=True)
+        )
+        from .edges import BROADCAST_HINT_MAX
+
+        heavy_side = (
+            F.broadcast(heavy)
+            if heavy.count() <= BROADCAST_HINT_MAX
+            else heavy
+        )
+        fp = fp.join(heavy_side, "f", "left_anti")
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), "n"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i").cast("double") / F.col("n"), 9).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )

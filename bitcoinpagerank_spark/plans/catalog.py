@@ -3119,6 +3119,47 @@ def q_doc_winnow(spark, sf_dir):
     )
 
 
+# Broder containment over winnowing fingerprints: the quoted-article
+# detector (low Jaccard, containment ~1); directed pairs, fingerprint
+# bucket join, never all-pairs.
+@register(
+    "doc_containment",
+    f"""WITH {DOC_TOKS_CTE},
+    shp AS (
+      SELECT d1.doc_id, d1.pos, {_SHINGLE_SQL} AS s
+      FROM doctid d1
+      JOIN doctid d2 ON d1.doc_id = d2.doc_id AND d2.pos = d1.pos + 1
+      JOIN doctid d3 ON d1.doc_id = d3.doc_id AND d3.pos = d1.pos + 2
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(s) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+      FROM shp
+    ),
+    fps AS (SELECT DISTINCT doc_id AS id, m AS fp FROM wins WHERE c = 4),
+    sizes AS (SELECT id, count(*) AS n FROM fps GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / n, 9) AS containment
+    FROM inter JOIN sizes ON sizes.id = id_a
+    WHERE round(CAST(i AS DOUBLE) / n, 9) >= 0.8""",
+)
+def q_doc_containment(spark, sf_dir):
+    """Directed winnowing-containment pairs at threshold 0.8 — flags
+    docs whose fingerprint set is mostly covered by another doc's
+    (embedded/quoted duplicates that symmetric Jaccard misses)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_doc_tids_dict(spark, sf_dir), w=4, threshold=0.8)
+
+
 # ======================================================= embedding queries
 
 @register(

@@ -316,3 +316,31 @@ def test_decontaminate_eval_broadcast_gated(spark, monkeypatch):
     out2 = decontaminate(corpus, ev, n=13)
     plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in plan2
+
+
+def test_containment_pairs_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment(a in b) ~ 1
+    while containment(b in a) is small — the directed measure Jaccard
+    misses."""
+    from bitcoinpagerank_spark.functions.text import token_dictionary
+    from bitcoinpagerank_spark.operators.dedup import (
+        containment_pairs,
+        doc_token_ids,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = f"intro words here {quote} and a very long tail " + " ".join(
+        f"t{i}" for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated stuff entirely")],
+        "doc_id long, text string",
+    )
+    tids = doc_token_ids(docs, dictionary=token_dictionary(docs))
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(tids, w=4, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8   # quote contained in long
+    assert (2, 1) not in got                      # long not contained in quote
+    assert not any(3 in k for k in got)
