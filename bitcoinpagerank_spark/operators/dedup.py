@@ -572,3 +572,50 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def curation_keep(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.45,
+    min_tokens: int = 15,
+    max_tokens: int = 95,
+    decon_n: int = 13,
+    max_top2gram: float = 0.20,
+    max_top3gram: float = 0.18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full curation keep-list, composed end-to-end — what a
+    pretraining data pipeline actually ships: language/quality/length
+    band ∧ exact-dup keeper (``corpus_filter``) ∧ NOT eval-contaminated
+    (``decontaminate``, classic 13-gram) ∧ NOT repetition-dominated
+    (``repetition_stats`` with the Gopher §A1.1 thresholds: top-2-gram
+    ≤ 0.20, top-3-gram ≤ 0.18).
+
+    One lazy plan: the scalar predicates evaluate in the scan stage,
+    then three doc-id-keyed hash joins (dup keeper equi-join + two
+    anti-joins against the contaminated and repetitive id sets). The
+    flag sets are corpus-subset-sized and id-keyed — Catalyst picks the
+    join side; no unconditional broadcast hints."""
+    from ..functions.text import repetition_stats
+
+    base = corpus_filter(
+        docs, lang=lang, min_quality=min_quality, min_tokens=min_tokens,
+        max_tokens=max_tokens, id_col=id_col, text_col=text_col,
+    )
+    contaminated = decontaminate(
+        docs, eval_docs, n=decon_n, id_col=id_col, text_col=text_col
+    ).select("doc_id")
+    repetitive = (
+        repetition_stats(docs, ns=(2, 3), id_col=id_col, text_col=text_col)
+        .where(
+            (F.col("top2gram_frac") > max_top2gram)
+            | (F.col("top3gram_frac") > max_top3gram)
+        )
+        .select("doc_id")
+    )
+    return base.join(contaminated, "doc_id", "left_anti").join(
+        repetitive, "doc_id", "left_anti"
+    )

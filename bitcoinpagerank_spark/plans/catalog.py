@@ -3953,6 +3953,108 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+# The capstone curation keep-list: language/quality/length ∧ dup keeper
+# ∧ NOT eval-contaminated (13-gram) ∧ NOT repetition-dominated (Gopher
+# thresholds). Corpus = doc_id % 5 <> 0; eval slice = the rest.
+@register(
+    "doc_curation_keep",
+    rf"""WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ),
+    t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM corpus
+    ),
+    pred AS ({_lang_sql()}),
+    scored AS (
+      SELECT t.doc_id, md5(t.text) AS text_hash, p.lang_pred,
+             0.4 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                    / greatest(len(toks), 1))
+           + 0.3 * least(1.0, len(toks) / 100.0)
+           + 0.3 * (length(regexp_replace(lower(t.text), '[^a-z ]', '', 'g'))
+                    / greatest(length(lower(t.text)), 1)) AS quality,
+             len(toks) AS n_tokens
+      FROM t JOIN pred p USING (doc_id)
+    ),
+    keepers AS (
+      SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id
+      FROM corpus GROUP BY 1
+    ),
+    allg AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[s:s+12], ' ')
+                FOR s IN generate_series(1, greatest(len(toks) - 12, 0))]
+             )) AS ng
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ),
+    ev AS (SELECT DISTINCT ng FROM allg WHERE doc_id % 5 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM allg JOIN ev USING (ng)
+      WHERE doc_id % 5 <> 0
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[s:s+1], ' ')
+                     FOR s IN generate_series(1, greatest(len(toks)-1, 0))])
+               AS ng
+      FROM t
+    ),
+    m2 AS (
+      SELECT doc_id, max(c) AS mx FROM
+        (SELECT doc_id, ng, count(*) AS c FROM g2 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[s:s+2], ' ')
+                     FOR s IN generate_series(1, greatest(len(toks)-2, 0))])
+               AS ng
+      FROM t
+    ),
+    m3 AS (
+      SELECT doc_id, max(c) AS mx FROM
+        (SELECT doc_id, ng, count(*) AS c FROM g3 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    repetitive AS (
+      SELECT t.doc_id
+      FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+      WHERE round(CAST(coalesce(m2.mx, 0) * 2 AS DOUBLE)
+                  / greatest(len(toks), 1), 9) > 0.20
+         OR round(CAST(coalesce(m3.mx, 0) * 3 AS DOUBLE)
+                  / greatest(len(toks), 1), 9) > 0.18
+    )
+    SELECT s.doc_id, s.lang_pred, round(s.quality, 6) AS quality, s.n_tokens
+    FROM scored s JOIN keepers k USING (text_hash)
+    WHERE s.lang_pred = 'en' AND s.quality >= 0.45
+      AND s.n_tokens BETWEEN 15 AND 95 AND s.doc_id = k.keeper_id
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND s.doc_id NOT IN (SELECT doc_id FROM repetitive)""",
+)
+def q_doc_curation_keep(spark, sf_dir):
+    """The composed curation keep-list a pretraining pipeline ships:
+    en ∧ quality ≥ 0.45 ∧ 15–95 tokens ∧ exact-dup keeper ∧ not
+    13-gram-contaminated vs the eval slice ∧ under the Gopher
+    repetition thresholds."""
+    from ..operators.dedup import curation_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    res = curation_keep(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+    )
+    return res.select(
+        "doc_id", "lang_pred", F.round("quality", 6).alias("quality"),
+        "n_tokens",
+    )
+
+
 # Gopher-family repetition metrics (Rae et al. 2021 §A1.1): share of the
 # token stream the single most repeated n-gram accounts for, n = 2 and 3.
 @register(
