@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="decontaminate: eval-set parquet (doc_id, text)")
     ap.add_argument("--ngram", type=int, default=13,
                     help="decontaminate: n-gram size (default 13)")
+    ap.add_argument("--additions", default=None,
+                    help="incremental-components: added-edges parquet "
+                         "(delta-given path; with --deletions, replaces "
+                         "--input-derived delta discovery)")
+    ap.add_argument("--deletions", default=None,
+                    help="incremental-components: deleted-edges parquet")
     args = ap.parse_args(argv)
 
     if args.command == "incremental-components" and (
@@ -385,14 +391,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "incremental-components":
-        from .operators.components import incremental_components
+        from .operators.components import (
+            incremental_components,
+            incremental_components_from_delta,
+        )
 
-        edges = spark.read.parquet(args.input)
         prior_labels = spark.read.parquet(args.prior_labels)
         prior_edges = spark.read.parquet(args.prior_edges)
-        res = incremental_components(
-            spark, edges, prior_labels, prior_edges,
-            max_iter=args.max_iter, num_partitions=args.partitions)
+        if args.additions is not None and args.deletions is not None:
+            # delta-given path: the crawl differ's output IS the input —
+            # skips the three |E|-scale delta-discovery joins
+            res = incremental_components_from_delta(
+                spark, prior_edges, prior_labels,
+                spark.read.parquet(args.additions),
+                spark.read.parquet(args.deletions),
+                max_iter=args.max_iter, num_partitions=args.partitions)
+        else:
+            edges = spark.read.parquet(args.input)
+            res = incremental_components(
+                spark, edges, prior_labels, prior_edges,
+                max_iter=args.max_iter, num_partitions=args.partitions)
         if args.output:
             res.labels.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"iterations": res.iterations,

@@ -295,3 +295,55 @@ def kmeans_assign(
         .where(F.col("rn") == 1)
         .select("id", "cid", "cosine")
     )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pos, z) — per-dimension z-score standardization (feature
+    scaling before clustering / ANN / linear probes; population std).
+
+    One pass computes 2·dim aggregates (avg, avg-of-squares per
+    component) in a single codegen'd hash agg — the same no-posexplode
+    discipline as ``label_centroids`` — then the 1-row stats table is
+    broadcast and every vector is scaled with an index lambda.
+    sd = 0 dimensions (constant feature) map to z = 0 rather than NaN.
+    Output is unpivoted to (id, pos, z) rows so the result is
+    hash-comparable across engines."""
+    v = F.col(vec_col)
+    aggs = [F.avg(v[i].cast("double")).alias(f"m{i}") for i in range(dim)] + [
+        F.avg(v[i].cast("double") * v[i].cast("double")).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    stats = embeddings.agg(*aggs).select(
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu"),
+        F.array(
+            *[
+                F.sqrt(
+                    F.greatest(
+                        F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}"),
+                        F.lit(0.0),
+                    )
+                )
+                for i in range(dim)
+            ]
+        ).alias("sd"),
+    )
+    z = F.transform(
+        v,
+        lambda x, i: F.round(
+            F.when(F.element_at("sd", i + 1) == 0.0, F.lit(0.0)).otherwise(
+                (x.cast("double") - F.element_at("mu", i + 1))
+                / F.element_at("sd", i + 1)
+            ),
+            6,
+        ),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col).alias("id"), z.alias("zv"))
+        .select("id", F.posexplode("zv").alias("pos", "z"))
+    )

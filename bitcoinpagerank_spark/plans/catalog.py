@@ -4709,6 +4709,34 @@ def q_emb_centroid_by_label(spark, sf_dir):
     )
 
 
+# per-dimension z-score feature scaling (population std), the standard
+# pre-clustering / linear-probe normalization; one hash agg for the 2·dim
+# moments, broadcast 1-row stats, index-lambda scale — no posexplode
+# before the output-sized unpivot.
+@register(
+    "emb_standardize",
+    """WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    st AS (
+      SELECT pos, avg(x) AS mu,
+             sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0)) AS sd
+      FROM ex GROUP BY 1
+    )
+    SELECT vec_id AS id, pos,
+           round(CASE WHEN sd = 0 THEN 0.0 ELSE (x - mu) / sd END, 6) AS z
+    FROM ex JOIN st USING (pos)""",
+)
+def q_emb_standardize(spark, sf_dir):
+    """Per-dimension z-scores of the embedding table (population std;
+    constant dims map to 0) as (id, pos, z) rows."""
+    from ..operators.ann import standardize_embeddings
+
+    return standardize_embeddings(_t(spark, sf_dir, "embeddings"), _EMB_DIM)
+
+
 @register(
     "emb_kmeans_assign",
     """WITH cent AS (
