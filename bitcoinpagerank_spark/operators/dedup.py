@@ -598,7 +598,15 @@ def curation_keep(
     then three doc-id-keyed hash joins (dup keeper equi-join + two
     anti-joins against the contaminated and repetitive id sets). The
     flag sets are corpus-subset-sized and id-keyed — Catalyst picks the
-    join side; no unconditional broadcast hints."""
+    join side; no unconditional broadcast hints.
+
+    Scan economics: the composed plan reads the corpus ~6× (quality
+    scoring, dup keeper, decontamination n-grams, two repetition
+    n-gram passes, spine) because Catalyst does not dedupe scans across
+    branches. At 100 TB, ``docs.persist(StorageLevel.DISK_ONLY)`` (or a
+    materialized tokenized table) before calling collapses that to one
+    read — deliberately left to the caller, since only the caller knows
+    whether the corpus fits the cluster's cache tier."""
     from ..functions.text import repetition_stats
 
     base = corpus_filter(
