@@ -383,13 +383,25 @@ def incremental_components(
 
     The star-contraction run therefore sees only: label-star edges for
     clean vertices (pre-collapsed, converge immediately), plus today's
-    edges that are NEW or touch a dirty vertex. Cost scales with
-    |delta neighborhood| + |V_clean| instead of |E| — on a 100 TB crawl
-    where a day touches a fraction of hosts, that is the difference
-    between re-clustering the web and re-clustering the delta. Clean
+    edges that are NEW or touch a dirty vertex — the contraction INPUT
+    scales with |delta neighborhood| + |V_clean| instead of |E|. Clean
     components keep their labels verbatim unless an added edge merges
     them (in which case the min-id contract relabels the merged
     component, exactly as a cold run would).
+
+    Measured cost model (BENCH.md round-6 size sweep, scales 18/22/24):
+    the contraction-input reduction is real and consistent (−31…−35%
+    round-1 pairs on |E|/|V| ≈ 2.75 block graphs) but THIS variant's
+    delta DISCOVERY is itself Θ(|E|) (~4 full-table joins deriving
+    deleted/droppable/retained), so its wall ratio vs a cold recompute
+    is roughly constant in |E| (~0.5–0.7 on a shuffle-cheap single
+    box). Reach for it when (a) the delta is already known — use
+    ``incremental_components_from_delta``, whose analysis joins are
+    delta/dirty-scale broadcast scans (the shuffle-vs-scan gap IS the
+    win once edge tables stop fitting page cache), or (b) |E| >> |V|,
+    where the |V_clean| label-star floor recedes. Otherwise the cold
+    recompute is the right default, and the ``fallback_frac`` guard
+    routes degenerate (giant-dirty) deltas there automatically.
 
     ``prior_labels`` must be the CC output for ``prior_edges``. The
     result equals ``connected_components(edges)`` exactly — asserted by
