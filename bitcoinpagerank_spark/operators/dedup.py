@@ -77,24 +77,42 @@ def doc_token_ids(
     )
 
 
+def _tid_rows(doc_tids: DataFrame) -> DataFrame:
+    """(id, tid) token-occurrence rows from either an (id, tids array)
+    table or an already-row-shaped (id, tid) table.
+
+    The row shape is the cheap input for the multiset/set aggregates
+    below (minhash, simhash): they never need per-document arrays, so
+    callers that have token rows anyway (explode → dictionary join)
+    should pass them directly — the collect_list assembly + re-explode
+    round-trip is an extra ObjectHashAggregate + Exchange carrying every
+    token, where the direct row path is one codegen hash aggregate with
+    map-side partial combine (guide §2.3: aggregate before you shuffle).
+    """
+    if "tid" in doc_tids.columns:
+        return doc_tids.select("id", "tid")
+    return doc_tids.select("id", F.explode("tids").alias("tid"))
+
+
 def minhash_signatures(
     doc_tids: DataFrame, k: int = 16
 ) -> DataFrame:
     """(id, mh_1..mh_k) — k min-hash values over the token-id SET.
 
     h_i(t) = (a_i·t + b_i) mod P with LCG coefficients; k min-aggregates
-    over one explode, all codegen."""
+    in one codegen hash agg (map-side partial). min() is insensitive to
+    duplicates, so no distinct/array_distinct pass is needed — the
+    multiset rows give the set minima verbatim. Accepts (id, tids array)
+    or (id, tid) rows (``_tid_rows``)."""
     coeffs = minhash_coeffs(k)
-    exploded = doc_tids.select(
-        "id", F.explode(F.array_distinct("tids")).alias("tid")
-    )
+    rows = _tid_rows(doc_tids)
     aggs = [
         F.min((F.col("tid").cast("long") * F.lit(a) + F.lit(b)) % HASH_P).alias(
             f"mh_{i+1}"
         )
         for i, (a, b) in enumerate(coeffs)
     ]
-    return exploded.groupBy("id").agg(*aggs)
+    return rows.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -120,6 +138,17 @@ def lsh_candidate_pairs(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band_idx").alias("band_idx"),
              F.col("bk.band_key").alias("band_key"))
+    # Pin the bucket-join parallelism (guide §8: the optimizer can't see
+    # it): the banded table is tiny in BYTES, so AQE coalesces the
+    # post-shuffle join down to 1-2 partitions — but the per-bucket pair
+    # generation is quadratic in bucket size and the join OUTPUT explodes
+    # (measured: 9.4M pairs from a 20k-row band table, whole join+distinct
+    # serialized on one core, 8.5 s → 32 tasks, ~2 s). An explicit
+    # repartition on the join key is user-specified, so AQE keeps it; the
+    # count comes from spark.sql.shuffle.partitions (scale-configured by
+    # the session, local default = cores).
+    p = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(p, "band_idx", "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -152,9 +181,9 @@ def simhash(doc_tids: DataFrame, bits: int = 32) -> DataFrame:
     tid = F.col("tid").cast("long")
     g1 = (tid * F.lit(a1) + F.lit(b1)) % F.lit(2**32)
     g2 = (tid * F.lit(a2) + F.lit(b2)) % F.lit(2**32)
-    exploded = doc_tids.select("id", F.explode("tids").alias("tid")).select(
-        "id", g1.alias("g"), g2.alias("g2")
-    )
+    # token multiset as rows (order is irrelevant to the per-bit sums);
+    # accepts (id, tids array) or (id, tid) rows — see _tid_rows
+    exploded = _tid_rows(doc_tids).select("id", g1.alias("g"), g2.alias("g2"))
 
     def _bit(j: int):
         if j < 32:
@@ -212,6 +241,11 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(heavy_side, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # pin the shared-shingle join parallelism (explosive-join contract,
+    # see lsh_candidate_pairs): quadratic per-shingle fan-out must not be
+    # AQE-coalesced onto a handful of tasks
+    p = int(doc_tids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(p, "s")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -353,6 +387,11 @@ def simhash_neardup_pairs(
         F.col("bk.block_idx").alias("block_idx"),
         F.col("bk.block_val").alias("block_val"),
     )
+    # same explosive-bucket-join contract as lsh_candidate_pairs: pin the
+    # join parallelism so AQE's byte-based coalescing can't serialize the
+    # quadratic per-bucket pair generation onto one task
+    p = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(p, "block_idx", "block_val")
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -554,6 +593,10 @@ def containment_pairs(
         )
         fp = fp.join(heavy_side, "f", "left_anti")
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # pin the shared-fingerprint join parallelism (explosive-join
+    # contract, see lsh_candidate_pairs)
+    p = int(doc_tids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fp = fp.repartition(p, "f")
     a = fp.alias("a")
     b = fp.alias("b")
     inter = (

@@ -31,6 +31,7 @@ from ..functions.text import (
     quality_score,
     token_count,
     token_dictionary,
+    tokens_col,
 )
 from ..operators import edges as E
 from ..operators.dedup import (
@@ -2899,9 +2900,27 @@ def _doc_tids_dict(spark, sf_dir):
     return doc_token_ids(docs, dictionary=token_dictionary(docs))
 
 
+def _doc_tid_rows_dict(spark, sf_dir):
+    """(id, tid) token-occurrence ROWS (document order irrelevant) — the
+    cheap input for the set/multiset dedup aggregates (minhash, simhash):
+    skips doc_token_ids' per-document array assembly (an
+    ObjectHashAggregate + Exchange carrying every token struct) and its
+    re-explode, feeding the downstream codegen hash aggs directly with
+    map-side partial combine. Same rows as exploding
+    ``_doc_tids_dict(...).tids`` — only the physical shape differs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    )
+    return toks.join(token_dictionary(docs), "token").select(
+        "id", F.col("tid").cast("long").alias("tid")
+    )
+
+
 @register("doc_minhash", _minhash_sql())
 def q_doc_minhash(spark, sf_dir):
-    return minhash_signatures(_doc_tids_dict(spark, sf_dir), k=_MH_K)
+    return minhash_signatures(_doc_tid_rows_dict(spark, sf_dir), k=_MH_K)
 
 
 def _lsh_sql(k: int = _MH_K, bands: int = 4) -> str:
@@ -2929,7 +2948,7 @@ def _lsh_sql(k: int = _MH_K, bands: int = 4) -> str:
 
 @register("doc_lsh_pairs", _lsh_sql())
 def q_doc_lsh_pairs(spark, sf_dir):
-    sigs = minhash_signatures(_doc_tids_dict(spark, sf_dir), k=_MH_K)
+    sigs = minhash_signatures(_doc_tid_rows_dict(spark, sf_dir), k=_MH_K)
     return lsh_candidate_pairs(sigs, bands=4)
 
 
@@ -2983,7 +3002,7 @@ def _simhash_sql(bits: int = 32) -> str:
 
 @register("doc_simhash", _simhash_sql())
 def q_doc_simhash(spark, sf_dir):
-    return simhash(_doc_tids_dict(spark, sf_dir), bits=32)
+    return simhash(_doc_tid_rows_dict(spark, sf_dir), bits=32)
 
 
 @register(
@@ -3031,7 +3050,7 @@ def q_doc_simhash_neardup(spark, sf_dir):
     bit_count(xor) verification on candidates only."""
     from ..operators.dedup import simhash_neardup_pairs
 
-    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=32)
+    sims = simhash(_doc_tid_rows_dict(spark, sf_dir), bits=32)
     return simhash_neardup_pairs(sims, bits=32, max_hamming=3, block_bits=8)
 
 
@@ -3039,7 +3058,7 @@ def q_doc_simhash_neardup(spark, sf_dir):
 def q_doc_simhash64(spark, sf_dir):
     """64-bit SimHash — the web-scale variant (32-bit hamming space
     saturates with birthday collisions beyond ~10^10 documents)."""
-    return simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+    return simhash(_doc_tid_rows_dict(spark, sf_dir), bits=64)
 
 
 @register(
@@ -3052,7 +3071,7 @@ def q_doc_simhash64_neardup(spark, sf_dir):
     agree between Spark and DuckDB."""
     from ..operators.dedup import simhash_neardup_pairs
 
-    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+    sims = simhash(_doc_tid_rows_dict(spark, sf_dir), bits=64)
     return simhash_neardup_pairs(sims, bits=64, max_hamming=3, block_bits=16)
 
 
@@ -3083,7 +3102,7 @@ def q_doc_neardup_clusters(spark, sf_dir):
     from ..operators.dedup import neardup_clusters, simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sims = simhash(_doc_tids_dict(spark, sf_dir), bits=64)
+    sims = simhash(_doc_tid_rows_dict(spark, sf_dir), bits=64)
     pairs = simhash_neardup_pairs(sims, bits=64, max_hamming=3, block_bits=16)
     return neardup_clusters(spark, docs, pairs)
 
