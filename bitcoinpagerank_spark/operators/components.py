@@ -57,7 +57,17 @@ class ComponentsResult:
 
 def _large_star(pairs: DataFrame) -> DataFrame:
     """(v, m) for every symmetric neighbor v > u, m = min(Γ(u) ∪ {u}).
-    Output keeps the a > b orientation (v > u ≥ m)."""
+    Output keeps the a > b orientation (v > u ≥ m).
+
+    The output is NOT deduplicated: with canonical input the emit side
+    has exactly one row per input pair (only the smaller endpoint of a
+    pair has the larger as a > neighbor), so the pre-dedup size is
+    |pairs| — never larger than the dedup'd set — and the consumer
+    (``_small_star``) is duplicate-insensitive: its min aggregate ignores
+    multiplicity and its final ``distinct`` canonicalizes the round's
+    output. Dropping the intermediate distinct removes one |pairs|-scale
+    Exchange + aggregate pair per round (plan: cc_round_step_before/
+    after.txt, 5 -> 4 exchanges)."""
     sym = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -67,7 +77,6 @@ def _large_star(pairs: DataFrame) -> DataFrame:
         sym.where(F.col("b") > F.col("a"))
         .join(mins, "a")
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 

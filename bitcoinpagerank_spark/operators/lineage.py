@@ -17,13 +17,19 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 # unique job-group token per loop instance, so getJobIdsForGroup never
-# picks up a previous run's jobs in the same session
+# picks up a previous run's jobs in the same session; locked because
+# concurrent driver threads (e.g. SCC's overlapped fwd/bwd closures)
+# draw tokens from the same counter
+import threading
+
 _SEQ = [0]
+_SEQ_LOCK = threading.Lock()
 
 
 def next_group(prefix: str, iteration: int) -> str:
-    _SEQ[0] += 1
-    return f"{prefix}_{_SEQ[0]}_it{iteration}"
+    with _SEQ_LOCK:
+        _SEQ[0] += 1
+        return f"{prefix}_{_SEQ[0]}_it{iteration}"
 
 
 @contextmanager

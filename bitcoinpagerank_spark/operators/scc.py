@@ -148,6 +148,7 @@ def strongly_connected_components(
     trim: bool = True,
     trim_min_frac: float = 0.01,
     closure_checkpoint: str = "plain",
+    concurrent_closures: bool = True,
 ) -> SccResult:
     """``trim=False`` disables the FW-BW-Trim pre-pass (closure-only, the
     pre-r4 behavior) — kept selectable for A/B measurement. ``trim`` is
@@ -230,12 +231,42 @@ def strongly_connected_components(
             converged = True
             break
         rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-        f = _min_label_closure(spark, e, verts, f"fwd{rounds}",
-                               max_closure_iter, metrics, closure_checkpoint,
-                               n_verts)
-        b = _min_label_closure(spark, rev, verts, f"bwd{rounds}",
-                               max_closure_iter, metrics, closure_checkpoint,
-                               n_verts)
+        # The forward and backward closures are INDEPENDENT iterate loops
+        # over the same checkpointed edge set — run them concurrently from
+        # two driver threads (guide §2.6: overlap independent jobs so one
+        # loop's per-round stragglers/driver round-trips back-fill the
+        # other's idle cores). Each thread owns its job groups/Observations
+        # (both are thread-local / uniquely named), and per-closure metrics
+        # go to private lists merged in a deterministic order afterwards.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        if concurrent_closures:
+            f_metrics: list[dict] = []
+            b_metrics: list[dict] = []
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_fut = pool.submit(
+                    inheritable_thread_target(spark)(_min_label_closure),
+                    spark, e, verts, f"fwd{rounds}", max_closure_iter,
+                    f_metrics, closure_checkpoint, n_verts,
+                )
+                b_fut = pool.submit(
+                    inheritable_thread_target(spark)(_min_label_closure),
+                    spark, rev, verts, f"bwd{rounds}", max_closure_iter,
+                    b_metrics, closure_checkpoint, n_verts,
+                )
+                f = f_fut.result()
+                b = b_fut.result()
+            metrics.extend(f_metrics)
+            metrics.extend(b_metrics)
+        else:  # sequential — kept selectable for A/B measurement
+            f = _min_label_closure(spark, e, verts, f"fwd{rounds}",
+                                   max_closure_iter, metrics,
+                                   closure_checkpoint, n_verts)
+            b = _min_label_closure(spark, rev, verts, f"bwd{rounds}",
+                                   max_closure_iter, metrics,
+                                   closure_checkpoint, n_verts)
         joined = f.join(
             b.select(F.col("id").alias("bid"), F.col("lab").alias("blab")),
             F.col("id") == F.col("bid"),
