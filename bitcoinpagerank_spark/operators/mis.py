@@ -77,7 +77,11 @@ def maximal_independent_set(
         .localCheckpoint(eager=True)
     )
     active = verts.select("id").localCheckpoint(eager=True)
-    mis = spark.createDataFrame([], "id long")
+    # winner sets accumulate as a list of per-round checkpointed frames,
+    # unioned lazily at the end (the SCC settled_frames pattern) — the
+    # running mis table is never consumed inside the loop, so re-unioning
+    # + re-checkpointing it every round was one pure-overhead job/round
+    mis_frames: list[DataFrame] = []
     metrics: list[dict] = []
     converged = False
     rounds = 0
@@ -100,7 +104,7 @@ def maximal_independent_set(
                 .localCheckpoint(eager=True)
             )
             won = int(obs.get["won"] or 0)
-        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        mis_frames.append(winners)
         removed = winners.unionByName(
             sym.join(winners.withColumnRenamed("id", SRC), SRC).select(
                 F.col(DST).alias("id")
@@ -130,6 +134,9 @@ def maximal_independent_set(
             converged = True
             break
 
+    mis = mis_frames[0] if mis_frames else spark.createDataFrame([], "id long")
+    for frame in mis_frames[1:]:
+        mis = mis.unionByName(frame)
     labels = (
         verts.join(mis.withColumn("__m", F.lit(1)), "id", "left")
         .join(active.withColumn("__a", F.lit(1)), "id", "left")

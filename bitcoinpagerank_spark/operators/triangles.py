@@ -21,13 +21,31 @@ from .edges import SRC, DST, undirected_view
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Undirected simple edges oriented low-(degree,id) → high-(degree,id).
 
-    Input may be directed/multigraph; orientation works on the symmetric
-    closure so each undirected edge appears exactly once.
+    Input may be directed/multigraph; orientation works on the canonical
+    (min, max) pair set — equivalent to deduplicating the symmetric
+    closure and keeping src < dst, but the distinct runs over |E| rows
+    instead of 2|E| (the old ``undirected_view().where(src < dst)`` paid
+    a union + distinct over both orientations only to drop half of them
+    again). Undirected degrees come from one endpoint-union aggregate of
+    the canonical set — identical values, one less full-symmetric scan.
     """
-    und = undirected_view(edges)  # symmetric, no self-loops, dedup
-    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+    canon = (
+        edges.select(
+            F.least(F.col(SRC), F.col(DST)).alias(SRC),
+            F.greatest(F.col(SRC), F.col(DST)).alias(DST),
+        )
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .where(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col(SRC).alias("id"))
+        .unionAll(canon.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
     e = (
-        und.where(F.col(SRC) < F.col(DST))  # one row per undirected edge
+        canon
         .join(deg.select(F.col("id").alias(SRC), F.col("deg").alias("deg_u")), SRC)
         .join(deg.select(F.col("id").alias(DST), F.col("deg").alias("deg_v")), DST)
     )
