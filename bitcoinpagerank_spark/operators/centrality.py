@@ -92,26 +92,33 @@ def katz_centrality(
         t0 = time.monotonic()
         grp = next_group("katz", it)
         obs = Observation(f"katz_{it}")
+        # ONE job per iteration: unlike eigenvector/HITS, Katz's update
+        # uses only the constants alpha/beta — the observed total_recv is
+        # a metrics row, not a plan input — so the receive aggregate and
+        # the vertex update fuse into a single checkpointed plan (the
+        # pagerank.py shape). F.sum skips nulls, so observing the fused
+        # left join gives exactly the old recv-table total.
         with job_group(spark, grp, "Katz step"):
             recv = (
                 e.join(c.select(F.col("id").alias(SRC), "score"), SRC)
                 .groupBy(F.col(DST).alias("id"))
                 .agg(F.sum("score").alias("recv"))
+            )
+            c = (
+                verts.join(recv, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(float(beta))
+                        + F.lit(float(alpha)) * F.coalesce("recv", F.lit(0.0))
+                    ).alias("score"),
+                    F.col("recv"),
+                )
                 .observe(obs, F.sum("recv").alias("total_recv"))
                 .localCheckpoint(eager=True)
             )
             total = float(obs.get["total_recv"] or 0.0)
-        c = (
-            verts.join(recv, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(float(beta))
-                    + F.lit(float(alpha)) * F.coalesce("recv", F.lit(0.0))
-                ).alias("score"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        c = c.select("id", "score")
         srb, swb = group_shuffle_bytes(spark, grp)
         metrics.append(
             {"iteration": it, "total_recv": total,

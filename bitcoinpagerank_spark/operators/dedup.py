@@ -115,14 +115,64 @@ def minhash_signatures(
     return rows.groupBy("id").agg(*aggs)
 
 
+def _tiled_self_join_sides(
+    df: DataFrame, key_cols: list[str], id_col: str = "id", salt: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(left, right) sides for a skew-tolerant bucket self-join on
+    ``key_cols`` — the triangle-tiling decomposition (guide §2.5/§8).
+
+    Quadratic per-bucket pair generation cannot be split by AQE (the
+    buckets are tiny in bytes, and a single key cannot be skew-split), so
+    one hot bucket serializes n²/2 pair rows onto one task. Each row gets
+    a deterministic chunk c = xxhash64(id) mod salt; the left side
+    replicates over tiles (c, t), the right over (s, c), and joining on
+    key_cols + ``tile`` lands pair (x, y) in exactly tile (c(x), c(y)) —
+    the pair set is unchanged, no duplicates — while a hot bucket spreads
+    over salt² tasks. Replication is salt× rows of a few-byte table; the
+    quadratic work itself is unchanged, only spread. Both sides are
+    explicitly repartitioned (user-specified, so AQE's byte-based
+    coalescing keeps the parallelism; count = spark.sql.shuffle.partitions,
+    the session's scale knob). Join the sides on key_cols + tile."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    chunk = F.pmod(F.xxhash64(id_col), F.lit(salt)).cast("int")
+    tiles = F.array(*[F.lit(t) for t in range(salt)])
+    others = [c for c in df.columns]
+    left = (
+        df.select(*others, chunk.alias("__tc"), F.explode(tiles).alias("__tt"))
+        .select(*others, (F.col("__tc") * salt + F.col("__tt")).alias("tile"))
+        .repartition(p, *key_cols, "tile")
+    )
+    right = (
+        df.select(*others, chunk.alias("__tc"), F.explode(tiles).alias("__tt"))
+        .select(*others, (F.col("__tt") * salt + F.col("__tc")).alias("tile"))
+        .repartition(p, *key_cols, "tile")
+    )
+    return left, right
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4
+    signatures: DataFrame, bands: int = 4, salt: int = 8
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b sharing at least one LSH band.
 
     Bands split the k signature columns into ``bands`` groups; documents
-    colliding on any full band become candidates. The self-join is on
-    (band_idx, band_key) — the banding hash is the partitioner."""
+    colliding on any full band become candidates.
+
+    Scale/skew contract: per-bucket pair generation is quadratic in
+    bucket size, so (a) the join parallelism is PINNED with an explicit
+    repartition — the band table is tiny in BYTES and AQE's byte-based
+    coalescing otherwise serializes the exploding join onto 1-2 tasks
+    (guide §8: the optimizer cannot see output cardinality; measured
+    9.4M pairs from a 20k-row band table on one core, 8.5 s) — and (b)
+    the self-join is TRIANGLE-TILED (guide §2.5 hot keys): each row gets
+    a deterministic chunk c = xxhash64(id) mod ``salt``; the left side
+    replicates over tiles (c, t) and the right over (s, c), and the join
+    key is (band, tile), so pair (x, y) lands in exactly tile
+    (c(x), c(y)) — same pair set, no duplicates — while one hot band key
+    spreads over salt² tasks instead of one (measured max/median task
+    skew 50x at sf0.1: a near-dup clique shares all its band keys).
+    Replication costs salt× rows of a few-byte table; quadratic work is
+    unchanged, only spread. ``salt=1`` disables tiling."""
     sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
     k = len(sig_cols)
     assert k % bands == 0, "k must divide evenly into bands"
@@ -138,24 +188,17 @@ def lsh_candidate_pairs(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band_idx").alias("band_idx"),
              F.col("bk.band_key").alias("band_key"))
-    # Pin the bucket-join parallelism (guide §8: the optimizer can't see
-    # it): the banded table is tiny in BYTES, so AQE coalesces the
-    # post-shuffle join down to 1-2 partitions — but the per-bucket pair
-    # generation is quadratic in bucket size and the join OUTPUT explodes
-    # (measured: 9.4M pairs from a 20k-row band table, whole join+distinct
-    # serialized on one core, 8.5 s → 32 tasks, ~2 s). An explicit
-    # repartition on the join key is user-specified, so AQE keeps it; the
-    # count comes from spark.sql.shuffle.partitions (scale-configured by
-    # the session, local default = cores).
-    p = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    banded = banded.repartition(p, "band_idx", "band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    left, right = _tiled_self_join_sides(
+        banded, ["band_idx", "band_key"], salt=salt
+    )
+    a = left.alias("a")
+    b = right.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.tile") == F.col("b.tile"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -241,15 +284,16 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(heavy_side, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # pin the shared-shingle join parallelism (explosive-join contract,
-    # see lsh_candidate_pairs): quadratic per-shingle fan-out must not be
-    # AQE-coalesced onto a handful of tasks
-    p = int(doc_tids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = sh.repartition(p, "s")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # tiled shared-shingle self-join (explosive-join contract, see
+    # _tiled_self_join_sides): pins parallelism against AQE's byte-based
+    # coalescing and spreads residual sub-df_cap hot shingles
+    left, right = _tiled_self_join_sides(sh, ["s"])
+    a = left.alias("a")
+    b = right.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.tile") == F.col("b.tile"))
+               & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -387,17 +431,19 @@ def simhash_neardup_pairs(
         F.col("bk.block_idx").alias("block_idx"),
         F.col("bk.block_val").alias("block_val"),
     )
-    # same explosive-bucket-join contract as lsh_candidate_pairs: pin the
-    # join parallelism so AQE's byte-based coalescing can't serialize the
-    # quadratic per-bucket pair generation onto one task
-    p = int(signatures.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    banded = banded.repartition(p, "block_idx", "block_val")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # same explosive-bucket-join contract as lsh_candidate_pairs: tiled
+    # self-join pins the parallelism (AQE would coalesce the tiny-bytes
+    # band table onto 1-2 tasks) and spreads hot block values salt² ways
+    left, right = _tiled_self_join_sides(
+        banded, ["block_idx", "block_val"], salt=8
+    )
+    a, b_ = left.alias("a"), right.alias("b")
     cand = (
         a.join(
             b_,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.tile") == F.col("b.tile"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -593,14 +639,16 @@ def containment_pairs(
         )
         fp = fp.join(heavy_side, "f", "left_anti")
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # pin the shared-fingerprint join parallelism (explosive-join
-    # contract, see lsh_candidate_pairs)
-    p = int(doc_tids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    fp = fp.repartition(p, "f")
-    a = fp.alias("a")
-    b = fp.alias("b")
+    # tiled shared-fingerprint self-join (explosive-join contract, see
+    # _tiled_self_join_sides); the directed a != b pair (x, y) still
+    # lands in exactly tile (c(x), c(y)) — one row per (pair, fingerprint)
+    left, right = _tiled_self_join_sides(fp, ["f"])
+    a = left.alias("a")
+    b = right.alias("b")
     inter = (
-        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.id") != F.col("b.id")))
+        a.join(b, (F.col("a.f") == F.col("b.f"))
+               & (F.col("a.tile") == F.col("b.tile"))
+               & (F.col("a.id") != F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -344,3 +344,27 @@ def test_containment_pairs_embedded_doc(spark):
     assert (1, 2) in got and got[(1, 2)] >= 0.8   # quote contained in long
     assert (2, 1) not in got                      # long not contained in quote
     assert not any(3 in k for k in got)
+
+
+def test_tiled_self_join_matches_untiled(spark, tids):
+    """r7: the triangle-tiled bucket self-join (skew spreading) must
+    produce exactly the untiled pair set — no duplicates, no losses —
+    for both the ordered (id_a < id_b) and directed (id_a != id_b)
+    join shapes."""
+    from bitcoinpagerank_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(tids, k=8)
+    tiled = sorted(map(tuple, lsh_candidate_pairs(sigs, bands=4).collect()))
+    untiled = sorted(
+        map(tuple, lsh_candidate_pairs(sigs, bands=4, salt=1).collect())
+    )
+    assert tiled == untiled and len(tiled) > 0
+
+    cont = sorted(
+        map(tuple, containment_pairs(tids, w=2, threshold=0.5).collect())
+    )
+    assert len(cont) == len(set((a, b) for a, b, _ in cont))  # directed, unique
