@@ -93,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
             "incremental-components requires --prior-labels and "
             "--prior-edges (yesterday's CC labels and edge set)"
         )
+    if args.command == "incremental-components" and (
+        (args.additions is None) != (args.deletions is None)
+    ):
+        # exactly one delta flag would silently fall through to the
+        # derive-from---input path and ignore the provided delta
+        ap.error(
+            "incremental-components: --additions and --deletions must be "
+            "given together (delta-given path) or both omitted "
+            "(derive the delta from --input)"
+        )
     if args.command == "decontaminate" and args.eval_set is None:
         ap.error("decontaminate requires --eval-set (doc_id, text parquet)")
 
@@ -377,6 +387,9 @@ def main(argv: list[str] | None = None) -> int:
         flags = decontaminate(corpus, eval_docs, n=args.ngram)
         if args.output:
             flags.write.mode("overwrite").parquet(args.output)
+            # read the materialized flags back: the summary agg otherwise
+            # re-runs the corpus-side n-gram explode + join a second time
+            flags = spark.read.parquet(args.output)
         from pyspark.sql import functions as F
 
         agg = flags.agg(

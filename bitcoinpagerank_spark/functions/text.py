@@ -140,8 +140,12 @@ BPE_PIECES: tuple[str, ...] = tuple(
 def bpe_pattern(pieces: tuple[str, ...] = BPE_PIECES) -> str:
     """The greedy-longest-match alternation: vocab pieces longest-first,
     single non-space char as fallback. All pieces must be free of regex
-    metacharacters (asserted) so the pattern is engine-portable."""
-    assert all(p.isalnum() for p in pieces), "vocab pieces must be alnum"
+    metacharacters so the pattern is engine-portable AND inlines safely
+    into the generated oracle SQL literal — validated with a real raise
+    (an assert would vanish under ``python -O`` and let a metacharacter
+    piece silently change tokenizer semantics)."""
+    if not all(p.isalnum() for p in pieces):
+        raise ValueError("vocab pieces must be alphanumeric")
     ordered = sorted(pieces, key=lambda p: (-len(p), p))
     return "(" + "|".join(ordered) + r"|[^\s])"
 
