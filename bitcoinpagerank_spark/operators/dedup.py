@@ -373,12 +373,15 @@ def lsh_neardup_pairs(
     banded = embeddings.select(
         F.col(id_col).alias("id"), F.explode(tables).alias("tb")
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # tiled bucket self-join (explosive-join contract, _tiled_self_join_sides)
+    left, right = _tiled_self_join_sides(banded, ["tbl", "bucket"])
+    a, b = left.alias("a"), right.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.tile") == F.col("b.tile"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

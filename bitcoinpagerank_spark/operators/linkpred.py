@@ -130,13 +130,49 @@ def predicted_links(
     max_pivot_degree: int | None = None,
 ) -> DataFrame:
     """Candidate pairs NOT already connected, scored by all three
-    measures — the end-to-end link-prediction surface: wedge join →
-    anti-join against the existing undirected edge set → score."""
-    scored = jaccard_pairs(edges, min_common, max_pivot_degree).join(
-        adamic_adar_pairs(edges, min_common, max_pivot_degree).select(
-            "u", "v", "adamic_adar"
-        ),
-        ["u", "v"],
+    measures — the end-to-end link-prediction surface: ONE wedge join →
+    anti-join against the existing undirected edge set → score.
+
+    The wedge self-join (the quadratic part) runs once with both
+    aggregates fused — count(*) is the common-neighbor count and
+    sum(1/ln(deg_n)) the Adamic-Adar mass — instead of composing
+    ``jaccard_pairs`` ⋈ ``adamic_adar_pairs``, which each paid their own
+    pivot self-join and then a candidate-pair equi-join to glue the
+    scores back together (plan: g_predicted_links_before/after.txt — the
+    duplicated wedge subtree and the SortMergeJoin between the two
+    scored tables are gone). Rows identical: the (n, deg_n) join key
+    adds no multiplicity (deg_n is functionally dependent on n), so
+    count(*) equals the common-neighbor count, and jaccard derives from
+    (common, deg_u, deg_v) exactly as before."""
+    sym, deg = _sym_with_degrees(edges)
+    pivot = sym.select(F.col("nbr").alias("n"), F.col("id").alias("u")).join(
+        deg.select(F.col("id").alias("n"), F.col("deg").alias("deg_n")), "n"
+    )
+    if max_pivot_degree is not None:
+        pivot = pivot.where(F.col("deg_n") <= max_pivot_degree)
+    scored = (
+        pivot.alias("l")
+        .join(
+            pivot.select("n", F.col("u").alias("v"), "deg_n").alias("r"),
+            ["n", "deg_n"],
+        )
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg_n"))).alias("adamic_adar"),
+        )
+        .where(F.col("common") >= min_common)
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            "u", "v", "common",
+            (
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
     )
     existing = undirected_view(edges).select(
         F.col(SRC).alias("u"), F.col(DST).alias("v")
