@@ -119,19 +119,23 @@ def _weighted_move_loop(
         sym_w.select(SRC, DST, F.col("w").cast("long").alias("w"))
         .repartition(num_partitions, SRC)
     )
+    # m rides the degree checkpoint via observe() — Σk = Σw over the
+    # symmetric rows, so m = Σk/2 exactly (weights appear once per
+    # direction; self-loop rows arrive pre-doubled), replacing the
+    # separate full-sym aggregation job. `or 0` guards the empty set
+    # (F.sum over zero rows is NULL — same guard as louvain_levels,
+    # ADVICE r4 #1).
+    obs_m = Observation(f"{tag}_m_{next_group(tag, 0)}")
     deg = (
         sym.groupBy(F.col(SRC).alias("id"))
         .agg(F.sum("w").alias("k"))
+        .observe(obs_m, F.sum("k").alias("total_k"))
         .localCheckpoint(eager=True)
     )
-    # `or 0`: F.sum over an empty/self-loop-only symmetric edge set is
-    # NULL — same guard as louvain_levels (ADVICE r4 #1)
-    m = int(
-        sym.agg((F.sum("w") / 2).cast("long").alias("m")).collect()[0]["m"] or 0
-    )
-    comm = deg.select("id", F.col("id").alias("community")).localCheckpoint(
-        eager=True
-    )
+    m = int(obs_m.get["total_k"] or 0) // 2
+    # the initial singleton assignment is a pure projection of the degree
+    # checkpoint — no need for its own materialization job
+    comm = deg.select("id", F.col("id").alias("community"))
     metrics: list[dict] = []
     converged = False
     rounds = 0

@@ -243,16 +243,27 @@ def strongly_connected_components(
         from pyspark import inheritable_thread_target
 
         if concurrent_closures:
+            # pinned-thread mode (the default): wrap so JVM thread-locals
+            # (job groups) are inherited per thread; in non-pinned mode
+            # inheritable_thread_target(session) returns the session
+            # itself — fall back to the bare function (thread-locals are
+            # process-shared there anyway)
+            wrapper = inheritable_thread_target(spark)
+            target = (
+                wrapper(_min_label_closure)
+                if callable(wrapper)
+                else _min_label_closure
+            )
             f_metrics: list[dict] = []
             b_metrics: list[dict] = []
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_fut = pool.submit(
-                    inheritable_thread_target(spark)(_min_label_closure),
+                    target,
                     spark, e, verts, f"fwd{rounds}", max_closure_iter,
                     f_metrics, closure_checkpoint, n_verts,
                 )
                 b_fut = pool.submit(
-                    inheritable_thread_target(spark)(_min_label_closure),
+                    target,
                     spark, rev, verts, f"bwd{rounds}", max_closure_iter,
                     b_metrics, closure_checkpoint, n_verts,
                 )

@@ -4248,16 +4248,30 @@ tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2)"""
 )
 def q_doc_tfidf_top(spark, sf_dir):
     """Per-document top TF-IDF term (smooth idf; ties → term asc). Exact
-    cross-engine: tfidf is a pure function of the integer (tf, df, N)."""
+    cross-engine: tfidf is a pure function of the integer (tf, df, N).
+
+    The per-doc argmax is a hash aggregate over a lexicographic struct
+    min — (−tfidf, term) ascending ≡ (tfidf DESC, term ASC), and tfidf
+    ≥ 1 > 0 so the negation is total-order-safe — instead of a
+    row_number window, which paid an exchange + full sort of every
+    (doc, term) row; the aggregate partial-combines map-side so the
+    shuffle carries one candidate per (doc, map partition)."""
     from ..functions.text import tfidf
 
     docs = _t(spark, sf_dir, "documents")
     sc = tfidf(docs, _doc_count(spark, sf_dir))
-    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "term", F.round("tfidf", 6).alias("tfidf"))
+    best = sc.groupBy("id").agg(
+        F.min(
+            F.struct(
+                (-F.col("tfidf")).alias("neg"),
+                F.col("term").alias("term"),
+                F.col("tfidf").alias("tfidf"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "id", F.col("b.term").alias("term"),
+        F.round("b.tfidf", 6).alias("tfidf"),
     )
 
 
