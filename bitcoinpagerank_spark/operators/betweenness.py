@@ -123,8 +123,10 @@ def betweenness_centrality(
         edges.select(SRC, DST)
         .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
         .where(F.col(SRC) != F.col(DST))
-        .distinct()
+        # one exchange: hash(src) satisfies the distinct's (src, dst)
+        # clustering (components.py has the A/B)
         .repartition(num_partitions, SRC)
+        .dropDuplicates()
         .localCheckpoint(eager=True)
     )
 

@@ -91,8 +91,10 @@ def bowtie(
         edges.select(SRC, DST)
         .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
         .where(F.col(SRC) != F.col(DST))
-        .distinct()
+        # one exchange: hash(src) satisfies the distinct's (src, dst)
+        # clustering (components.py has the A/B)
         .repartition(num_partitions, SRC)
+        .dropDuplicates()
         .localCheckpoint(eager=True)
     )
     rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))

@@ -126,15 +126,19 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
     else:
-        # canonical oriented pair set: (max, min), self-loops dropped
+        # canonical oriented pair set: (max, min), self-loops dropped.
+        # repartition BEFORE the dedup: hash(a) satisfies the distinct
+        # aggregate's (a, b) clustering (equal pairs share a), so one
+        # exchange does both — the old distinct().repartition() paid a
+        # second full-|E| exchange for the same set (0.85x A/B).
         pairs = (
             edges.select(
                 F.greatest(F.col(SRC), F.col(DST)).alias("a"),
                 F.least(F.col(SRC), F.col(DST)).alias("b"),
             )
             .where(F.col("a") != F.col("b"))
-            .distinct()
             .repartition(num_partitions, "a")
+            .dropDuplicates()
             .localCheckpoint(eager=True)
         )
         if checkpoint_dir and input_sig is None:

@@ -71,9 +71,17 @@ def maximal_independent_set(
     if n == 0:
         verts.unpersist()
         raise ValueError("MIS on an empty graph")
+    # symmetric closure built with the repartition BEFORE the dedup:
+    # hash(src) satisfies the distinct's (src, dst) clustering, so one
+    # exchange replaces undirected_view()'s distinct + the repartition
+    # (components.py has the A/B); same set as undirected_view
+    raw = edges.select(SRC, DST).unionByName(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
     sym = (
-        undirected_view(edges)
+        raw.where(F.col(SRC) != F.col(DST))
         .repartition(num_partitions, SRC)
+        .dropDuplicates()
         .localCheckpoint(eager=True)
     )
     active = verts.select("id").localCheckpoint(eager=True)

@@ -189,12 +189,15 @@ def strongly_connected_components(
 
         num_partitions = default_partitions(spark, edges)
 
+    # repartition before the dedup: hash(src) satisfies the distinct's
+    # (src, dst) clustering, so one exchange replaces the old
+    # distinct().repartition() pair (components.py has the A/B)
     e = (
         edges.select(SRC, DST)
         .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
         .where(F.col(SRC) != F.col(DST))
-        .distinct()
         .repartition(num_partitions, SRC)
+        .dropDuplicates()
         .localCheckpoint(eager=True)
     )
     verts = (
