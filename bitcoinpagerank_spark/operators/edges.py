@@ -123,12 +123,23 @@ def dangling_vertices(edges: DataFrame) -> DataFrame:
     return dsts.join(srcs, "id", "left_anti")
 
 
-def undirected_view(edges: DataFrame) -> DataFrame:
-    """Symmetric closure with dedup — input to CC / LPA / triangles."""
+def undirected_view(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Symmetric closure with dedup — input to CC / LPA / triangles.
+
+    ``num_partitions`` places the repartition BEFORE the dedup: hash(src)
+    satisfies the distinct aggregate's (src, dst) clustering, so one
+    exchange yields the deduplicated set already partitioned by src —
+    callers that chained ``.repartition(P, SRC)`` after the distinct paid
+    a second full-table exchange for the same layout."""
     sym = edges.select(SRC, DST).unionByName(
         edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
-    return sym.where(F.col(SRC) != F.col(DST)).distinct()
+    sym = sym.where(F.col(SRC) != F.col(DST))
+    if num_partitions:
+        return sym.repartition(num_partitions, SRC).dropDuplicates()
+    return sym.distinct()
 
 
 def partition_lineage(edges: DataFrame, num_partitions: int) -> DataFrame:

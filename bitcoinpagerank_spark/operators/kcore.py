@@ -48,8 +48,7 @@ def k_core(
     # symmetric closure: every undirected edge appears in both directions,
     # so groupBy(src) counts the full undirected degree
     pairs = (
-        undirected_view(edges)
-        .repartition(num_partitions, SRC)
+        undirected_view(edges, num_partitions)
         .localCheckpoint(eager=True)
     )
 
@@ -123,8 +122,7 @@ def core_numbers(
         num_partitions = default_partitions(spark, edges)
 
     und = (
-        undirected_view(edges)
-        .repartition(num_partitions, SRC)
+        undirected_view(edges, num_partitions)
         .persist()
     )
     und.count()

@@ -45,7 +45,7 @@ def label_propagation(
 
         num_partitions = default_partitions(spark, edges)
 
-    und = undirected_view(edges).repartition(num_partitions, SRC).persist()
+    und = undirected_view(edges, num_partitions).persist()
     und.count()
     labels = (
         vertices(edges)

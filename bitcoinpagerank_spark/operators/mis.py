@@ -188,8 +188,7 @@ def greedy_coloring(
     if num_partitions is None:
         num_partitions = default_partitions(spark, edges)
     residual = (
-        undirected_view(edges)
-        .repartition(num_partitions, SRC)
+        undirected_view(edges, num_partitions)
         .localCheckpoint(eager=True)
     )
     uncolored = vertices(edges).repartition(num_partitions, "id").persist()
